@@ -1,0 +1,166 @@
+"""RRDB generator with per-layer latent (Z) injection — flax.linen, NHWC.
+
+The explorable-SR generator: an ESRGAN-style RRDB trunk where the latent
+control map Z is concatenated to the input of (almost) every convolution,
+plus 2x nearest-upsample+conv upscaling and two HR-domain convs that receive
+the full-resolution Z.
+
+Z-injection topology mirrors the reference exactly
+(codes/models/modules/architecture.py:228-302, block.py:196-270):
+  * Z (HR-domain, [N, H, W, Cz]) is bilinearly downscaled to LR for the
+    trunk ('latent_input_domain=HR_downscaled', architecture.py:282-284);
+  * injected into: the first conv, every conv of every residual-dense block,
+    between RDBs/RRDBs, the trunk-end conv — but NOT the upsample convs;
+  * the two HR convs receive the full-HR Z (architecture.py:290-301).
+
+TPU-first re-design: the 23 RRDB blocks are a single ``nn.scan`` over
+stacked parameters (one compiled block body instead of 23 unrolled ones —
+dramatically faster compiles, identical math), NHWC layout, bf16-friendly
+convs (precision left to XLA defaults on the trunk; the CEM wrapper handles
+consistency in fp32).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exsr.ops.filters import bilinear_resize, nearest_upsample
+
+
+def kaiming_conv_init(scale: float = 1.0):
+    """Kaiming-normal fan-in init scaled by ``scale``, matching the
+    reference's init_weights(kaiming, scale=0.1) for G (networks.py:29-46,
+    118-119)."""
+    def init(key, shape, dtype=jnp.float32):
+        # HWIO: fan_in = kh * kw * in_ch
+        fan_in = int(np.prod(shape[:-1]))
+        std = np.sqrt(2.0 / fan_in)
+        return scale * std * jax.random.normal(key, shape, dtype)
+    return init
+
+
+class ZConv(nn.Module):
+    """3x3 conv whose input is (z ++ x) along channels."""
+    features: int
+    init_scale: float = 0.1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, z):
+        if z is not None:
+            x = jnp.concatenate([z, x], axis=-1)
+        return nn.Conv(self.features, (3, 3), padding='SAME',
+                       use_bias=self.use_bias,
+                       kernel_init=kaiming_conv_init(self.init_scale))(x)
+
+
+class ResidualDenseBlock(nn.Module):
+    """5-conv residual dense block with Z at every conv
+    (block.py:196-242)."""
+    nf: int = 64
+    gc: int = 32
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, z):
+        feats = [x]
+        for i in range(4):
+            out = ZConv(self.gc, self.init_scale, name=f'conv{i}')(
+                jnp.concatenate(feats, axis=-1), z)
+            feats.append(nn.leaky_relu(out, 0.2))
+        out = ZConv(self.nf, self.init_scale, name='conv4')(
+            jnp.concatenate(feats, axis=-1), z)
+        return out * 0.2 + x
+
+
+class RRDB(nn.Module):
+    """Residual-in-residual dense block; Z re-injected between RDBs
+    (block.py:245-270)."""
+    nf: int = 64
+    gc: int = 32
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, z):
+        out = ResidualDenseBlock(self.nf, self.gc, self.init_scale,
+                                 name='rdb1')(x, z)
+        out = ResidualDenseBlock(self.nf, self.gc, self.init_scale,
+                                 name='rdb2')(out, z)
+        out = ResidualDenseBlock(self.nf, self.gc, self.init_scale,
+                                 name='rdb3')(out, z)
+        return out * 0.2 + x
+
+
+class RRDBNet(nn.Module):
+    """The explorable-SR generator (architecture.py:228-302).
+
+    ``__call__(lr, z_hr)``: lr is [N, h, w, in_nc]; z_hr is the HR-domain
+    latent map [N, h*upscale, w*upscale, latent_channels] or None.
+    """
+    in_nc: int = 3
+    out_nc: int = 3
+    nf: int = 64
+    nb: int = 23
+    gc: int = 32
+    upscale: int = 4
+    latent_channels: int = 0
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, lr, z_hr=None):
+        assert (z_hr is None) == (self.latent_channels == 0)
+        n, h, w, _ = lr.shape
+        if z_hr is not None:
+            z_lr = bilinear_resize(z_hr, h, w)
+            x = jnp.concatenate([z_lr, lr], axis=-1)
+        else:
+            z_lr = None
+            x = lr
+        fea = nn.Conv(self.nf, (3, 3), padding='SAME',
+                      kernel_init=kaiming_conv_init(self.init_scale),
+                      name='fea_conv')(x)
+
+        # Trunk: scan one RRDB body over nb stacked parameter sets.
+        block = nn.scan(
+            RRDBScanBody,
+            variable_axes={'params': 0},
+            split_rngs={'params': True},
+            in_axes=nn.broadcast,
+            length=self.nb,
+        )(self.nf, self.gc, self.init_scale, name='trunk')
+        trunk, _ = block(fea, z_lr)
+        trunk = ZConv(self.nf, self.init_scale, name='trunk_conv')(trunk,
+                                                                   z_lr)
+        x = fea + trunk
+
+        # Upsampling: 2x nearest + conv per stage, no Z (architecture.py:
+        # 288-301 — upsample convs receive no latent concat).
+        n_up = 1 if self.upscale == 3 else int(np.log2(self.upscale))
+        for i in range(n_up):
+            f = 3 if self.upscale == 3 else 2
+            x = nearest_upsample(x, f)
+            x = nn.leaky_relu(nn.Conv(
+                self.nf, (3, 3), padding='SAME',
+                kernel_init=kaiming_conv_init(self.init_scale),
+                name=f'upconv{i}')(x), 0.2)
+
+        # HR convs receive the full-HR latent map.
+        x = nn.leaky_relu(
+            ZConv(self.nf, self.init_scale, name='hr_conv0')(x, z_hr), 0.2)
+        x = ZConv(self.out_nc, self.init_scale, name='hr_conv1')(x, z_hr)
+        return x
+
+
+class RRDBScanBody(nn.Module):
+    """Adapter so nn.scan threads (carry=x, const z) through RRDB."""
+    nf: int
+    gc: int
+    init_scale: float
+
+    @nn.compact
+    def __call__(self, carry, z):
+        return RRDB(self.nf, self.gc, self.init_scale)(carry, z), None

@@ -1,0 +1,101 @@
+"""Model-layer tests: shapes, parameter parity, Z-sensitivity."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exsr.models.rrdb import RRDBNet
+from exsr.models.discriminators import (DiscriminatorVGG128,
+                                        PatchGANDiscriminator)
+from exsr.models.dncnn import DnCNN, DnCNNConfig, DnCNNDiscriminator
+from exsr.models.vgg import VGG19Features
+
+
+def test_rrdb_param_count_matches_reference():
+    """Parameter count of the full 23-block explorable generator equals the
+    reference RRDBNet with 3 latent channels (architecture.py:228-302,
+    analytically: 17,060,948)."""
+    m = RRDBNet(nb=23, latent_channels=3)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                    jnp.zeros((1, 32, 32, 3)))
+    n = sum(x.size for x in jax.tree.leaves(params))
+    assert n == 17_060_948
+
+
+def test_rrdb_forward_and_z_sensitivity():
+    m = RRDBNet(nb=2, latent_channels=3)
+    key = jax.random.PRNGKey(0)
+    lr = jax.random.uniform(key, (2, 12, 12, 3))
+    z0 = jnp.zeros((2, 48, 48, 3))
+    z1 = jnp.ones((2, 48, 48, 3))
+    params = m.init(key, lr, z0)
+    out0 = m.apply(params, lr, z0)
+    out1 = m.apply(params, lr, z1)
+    assert out0.shape == (2, 48, 48, 3)
+    # Z must actually modulate the output
+    assert float(jnp.abs(out0 - out1).max()) > 1e-6
+
+
+def test_rrdb_no_latent():
+    m = RRDBNet(nb=2, latent_channels=0)
+    lr = jnp.zeros((1, 10, 10, 3))
+    params = m.init(jax.random.PRNGKey(0), lr, None)
+    assert m.apply(params, lr, None).shape == (1, 40, 40, 3)
+
+
+def test_discriminator_vgg128_fc_head():
+    d = DiscriminatorVGG128(nb=10, num_2_strides=5, input_patch_size=128)
+    x = jnp.zeros((2, 128, 128, 3))
+    variables = d.init(jax.random.PRNGKey(0), x)
+    out, _ = d.apply(variables, x, train=True,
+                     mutable=['batch_stats'])
+    assert out.shape == (2, 1)
+
+
+def test_discriminator_vgg128_patch_head():
+    d = DiscriminatorVGG128(nb=6, num_2_strides=3, input_patch_size=64)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = d.init(jax.random.PRNGKey(0), x)
+    out, _ = d.apply(variables, x, train=True, mutable=['batch_stats'])
+    assert out.ndim == 4 and out.shape[-1] == 1
+
+
+def test_patchgan_decomposed():
+    d = PatchGANDiscriminator(n_layers=3, decomposed_input=True,
+                              pre_clipping=True)
+    lo = jnp.zeros((1, 64, 64, 3))
+    hi = jnp.zeros((1, 64, 64, 3))
+    variables = d.init(jax.random.PRNGKey(0), (lo, hi))
+    out = d.apply(variables, (lo, hi))
+    assert out.shape[0] == 1 and out.shape[-1] == 1
+
+
+def test_dncnn_generator_residual_head():
+    cfg = DnCNNConfig(n_channels=32, depth=4, num_latent_channels=64)
+    g = DnCNN(cfg)
+    coeffs = jnp.zeros((1, 8, 8, 64))
+    z = jnp.zeros((1, 8, 8, 64))
+    variables = g.init(jax.random.PRNGKey(0), coeffs, z)
+    out, _ = g.apply(variables, coeffs, z, train=True,
+                     mutable=['batch_stats'])
+    assert out.shape == coeffs.shape
+    # residual head: output stays within +-0.5 of the quantized coefficients
+    assert float(jnp.abs(out - coeffs).max()) <= 0.5
+
+
+def test_dncnn_discriminator_shapes():
+    d = DnCNNDiscriminator(n_channels=32, depth=4, expected_input_size=16,
+                           norm='layer', spectral_norm=False)
+    x = jnp.zeros((2, 16, 16, 64))
+    variables = d.init(jax.random.PRNGKey(0), x)
+    out = d.apply(variables, x)
+    assert out.shape == (2, 1)
+
+
+def test_vgg19_features_shapes():
+    m = VGG19Features()
+    x = jnp.zeros((1, 64, 64, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    # conv5_4: 4 maxpools before block5 -> 64/16 = 4, 512 channels
+    assert out.shape == (1, 4, 4, 512)
