@@ -1,0 +1,137 @@
+"""Batch evaluation CLI — the reference's codes/test.py re-designed.
+
+Computes, per test image: SR at Z=0 (PSNR/SSIM vs GT, border-cropped),
+LR-consistency (null-space projection residual), and per-pixel STD across a
+sweep of Z samples (diversity) — test.py:140-319.
+
+Usage:
+  python -m exsr.apps.eval_sr --hr_dir DIR [--lr_dir DIR] --scale 4 \
+      [--checkpoint CKPT] [--num_z 1] [--out_dir results] [--save_images]
+
+Without a checkpoint the generator runs with seeded random weights (useful
+for pipeline checks; PSNR then reflects the CEM's analytic low-frequency
+reconstruction only).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_model(scale: int, nb: int = 23, latent_channels: int = 3,
+                checkpoint: str | None = None):
+    import jax
+    import jax.numpy as jnp
+    from exsr.cem.cem import CEM, CEMConf, cem_wrap
+    from exsr.models.rrdb import RRDBNet
+
+    cem = CEM.create(CEMConf(scale_factor=scale))
+    filt = cem.device_filters(3)
+    g = RRDBNet(nb=nb, upscale=scale, latent_channels=latent_channels)
+    params = g.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 16, 16, 3)),
+                    jnp.zeros((1, 16 * scale, 16 * scale, 3))
+                    if latent_channels else None)
+    if checkpoint:
+        from exsr.train.checkpoints import CheckpointManager
+        mgr = CheckpointManager(os.path.abspath(checkpoint))
+        state = mgr.restore({'g_params': params})
+        params = state['g_params']
+    wrapped = cem_wrap(lambda p, x, z: g.apply(p, x, z), filt, upscale=scale)
+
+    def forward(lr_img: np.ndarray, z_hr: np.ndarray):
+        out = wrapped(params, jnp.asarray(lr_img), jnp.asarray(z_hr),
+                      cem.invalidity_margins_lr, pre_pad=True)
+        return np.asarray(jnp.clip(out, 0.0, 1.0))
+
+    return cem, forward
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--hr_dir', help='ground-truth HR image dir')
+    p.add_argument('--lr_dir', help='LR dir (default: synthesize from HR)')
+    p.add_argument('--scale', type=int, default=4)
+    p.add_argument('--nb', type=int, default=23)
+    p.add_argument('--checkpoint')
+    p.add_argument('--num_z', type=int, default=1,
+                   help='Z samples for the diversity sweep')
+    p.add_argument('--out_dir', default='results')
+    p.add_argument('--save_images', action='store_true')
+    p.add_argument('--max_images', type=int, default=None)
+    args = p.parse_args(argv)
+
+    from exsr.data.datasets import LRHRDataset, LRDataset
+    from exsr.utils.metrics import (calculate_psnr, calculate_ssim,
+                                    crop_border)
+    from exsr.utils.color import tensor2img
+    from exsr.ops.resize import imresize
+
+    cem, forward = build_model(args.scale, args.nb,
+                               checkpoint=args.checkpoint)
+    if args.hr_dir:
+        ds = LRHRDataset(hr_root=args.hr_dir, lr_root=args.lr_dir,
+                         scale=args.scale, train=False, patch_size=None)
+    else:
+        assert args.lr_dir, 'need --hr_dir or --lr_dir'
+        ds = LRDataset(args.lr_dir)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    results = []
+    n = len(ds) if args.max_images is None else min(len(ds), args.max_images)
+    for i in range(n):
+        item = ds[i]
+        lr = item['lr'][None]
+        name = os.path.splitext(os.path.basename(item['path']))[0]
+        t0 = time.time()
+        zs = [np.zeros((1, lr.shape[1] * args.scale,
+                        lr.shape[2] * args.scale, 3), np.float32)]
+        rng = np.random.default_rng(i)
+        for _ in range(args.num_z - 1):
+            zs.append(rng.uniform(-1, 1, size=zs[0].shape)
+                      .astype(np.float32))
+        outs = [forward(lr, z) for z in zs]
+        dt = time.time() - t0
+        sr0 = tensor2img(outs[0])
+        rec = {'name': name, 'time_s': dt}
+        if 'hr' in item:
+            gt = tensor2img(item['hr'][None])
+            b = args.scale
+            rec['psnr'] = calculate_psnr(
+                crop_border(sr0.astype(np.float64), b),
+                crop_border(gt.astype(np.float64), b))
+            rec['ssim'] = calculate_ssim(
+                crop_border(sr0.astype(np.float64), b),
+                crop_border(gt.astype(np.float64), b))
+        # LR-consistency: downscale(SR) vs LR input (test.py:218-236)
+        down = imresize(outs[0][0].astype(np.float64), 1.0 / args.scale)
+        m = int(cem.invalidity_margins_lr)
+        rec['consistency_mae'] = float(
+            np.mean(np.abs(down - item['lr'])[m:-m, m:-m]))
+        if args.num_z > 1:
+            stack = np.stack([o[0] for o in outs])
+            rec['per_pixel_std'] = float(stack.std(axis=0).mean())
+        results.append(rec)
+        if args.save_images:
+            from PIL import Image
+            Image.fromarray(sr0).save(
+                os.path.join(args.out_dir, f'{name}_SR.png'))
+        print(json.dumps(rec))
+
+    summary = {'num_images': len(results)}
+    for key in ('psnr', 'ssim', 'consistency_mae', 'per_pixel_std'):
+        vals = [r[key] for r in results if key in r]
+        if vals:
+            summary[f'avg_{key}'] = float(np.mean(vals))
+    with open(os.path.join(args.out_dir, 'summary.json'), 'w') as f:
+        json.dump({'summary': summary, 'per_image': results}, f, indent=2)
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,437 @@
+"""Headless interactive edit session — the GUI backend as a library.
+
+The reference couples all editing logic to a PyQt5 GUI (codes/GUI.py, 2691
+LoC).  Here the model-facing behavior is a Qt-free API so any frontend
+(web, notebook, CLI) is a thin client:
+
+  open_image -> set_region -> optimize(objective, ...) / set_z_from_svd ->
+  undo/redo -> save_z/load_z.
+
+Reproduced GUI semantics:
+  * local edits crop every tensor to the mask's bounding rectangle
+    (+ margins) and merge the optimized Z back (GUI.py:1897-1923,1964-1981,
+    2077-2089); crops are bucketed to multiples of 16 LR pixels so repeated
+    edits hit the jit cache instead of recompiling;
+  * the edit loop runs mini-epochs of 5 iterations inside a wall-clock
+    budget (default 30 s), rolls Z back when the loss did not decrease and
+    divides the LR by 5 (GUI.py:51-62,2043-2134);
+  * Z history/redo stacks (GUI.py:2604-2631); uniform-Z; SVD-domain slider
+    control of masked regions (SetZ, GUI.py:2146-2218);
+  * HSV/brightness edits via consistency enforcement
+    (GUI.py:1552-1585) and scribble desired-image synthesis
+    (Z_optimization.py:409-423).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import deque
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exsr.cem.cem import CEM, CEMConf, cem_wrap, consistent_downsample
+from exsr.ops.structure_tensor import svd_to_latent_z
+from exsr.zopt import objectives as obj
+from exsr.zopt.optimizer import ZOptimizer, atanh_init
+from exsr.zopt.histogram import SoftHistogramLoss
+
+DEFAULT_TIME_BUDGET_S = 30.0   # GUI.py:62
+ITERS_PER_ROUND = 5            # GUI.py:51
+INITIAL_LR = 1e-1              # GUI.py:53
+LR_DECAY_ON_PLATEAU = 5.0      # GUI.py:2131-2134
+CROP_BUCKET_LR = 16
+
+
+def _bucket(lo: int, hi: int, size: int, bucket: int) -> tuple[int, int]:
+    """Expand [lo, hi) to a bucket multiple, clipped to [0, size)."""
+    length = hi - lo
+    target = min(size, int(np.ceil(length / bucket)) * bucket)
+    lo = max(0, min(lo - (target - length) // 2, size - target))
+    return lo, lo + target
+
+
+@dataclasses.dataclass
+class EditSession:
+    scale: int = 4
+    nb: int = 23
+    latent_channels: int = 3
+    z_range: float = 1.0
+    time_budget_s: float = DEFAULT_TIME_BUDGET_S
+
+    def __post_init__(self):
+        self.cem = CEM.create(CEMConf(scale_factor=self.scale))
+        self.filters = self.cem.device_filters(3)
+        from exsr.models.rrdb import RRDBNet
+        self.generator = RRDBNet(nb=self.nb, upscale=self.scale,
+                                 latent_channels=self.latent_channels)
+        self.params = None
+        self._wrapped = cem_wrap(
+            lambda p, x, z: self.generator.apply(p, x, z), self.filters,
+            upscale=self.scale)
+        self._fwd = jax.jit(lambda p, lr, z: jnp.clip(self._wrapped(
+            p, lr, z, self.cem.invalidity_margins_lr, pre_pad=True),
+            0.0, 1.0))
+        self.lr_image = None       # [1, h, w, 3]
+        self.hr_gt = None
+        self.cur_z = None          # [1, H, W, C] numpy
+        self.region_mask_hr = None  # [H, W] float
+        self.sr = None
+        self._history: deque = deque(maxlen=100)
+        self._redo: deque = deque(maxlen=100)
+        self.d_apply = None        # optional critic for 'Adversarial'
+        self.vgg_apply = None      # optional feature net for 'VGG'
+
+    # -------------------------------------------------------------- loading
+    def load_params(self, params):
+        self.params = params
+
+    def init_random_params(self, seed: int = 0):
+        lr = jnp.zeros((1, 16, 16, 3))
+        z = jnp.zeros((1, 16 * self.scale, 16 * self.scale,
+                       self.latent_channels))
+        self.params = self.generator.init(jax.random.PRNGKey(seed), lr, z)
+
+    def open_image(self, image: np.ndarray, is_hr: bool = True):
+        """HR input is consistently downsampled to form the LR working image
+        (GUI.py:2483-2572)."""
+        img = jnp.asarray(image[None].astype(np.float32))
+        if is_hr:
+            self.hr_gt = np.asarray(img)
+            lr = consistent_downsample(
+                img, self.filters, self.cem.ds_kernel_invalidity_half_size_lr)
+            self.lr_image = np.asarray(lr)
+        else:
+            self.hr_gt = None
+            self.lr_image = np.asarray(img)
+        h, w = self.lr_image.shape[1:3]
+        self.cur_z = np.zeros((1, h * self.scale, w * self.scale,
+                               self.latent_channels), np.float32)
+        self.region_mask_hr = np.ones((h * self.scale, w * self.scale),
+                                      np.float32)
+        self._history.clear()
+        self._redo.clear()
+        self.recompute()
+        return self.sr
+
+    def recompute(self):
+        self.sr = np.asarray(self._fwd(self.params,
+                                       jnp.asarray(self.lr_image),
+                                       jnp.asarray(self.cur_z)))
+        return self.sr
+
+    # ---------------------------------------------------------------- state
+    def _push_history(self):
+        self._history.append(self.cur_z.copy())
+        self._redo.clear()
+
+    def undo(self):
+        if self._history:
+            self._redo.append(self.cur_z.copy())
+            self.cur_z = self._history.pop()
+            self.recompute()
+        return self.sr
+
+    def redo(self):
+        if self._redo:
+            self._history.append(self.cur_z.copy())
+            self.cur_z = self._redo.pop()
+            self.recompute()
+        return self.sr
+
+    def set_region(self, mask_hr: np.ndarray):
+        assert mask_hr.shape == self.region_mask_hr.shape
+        self.region_mask_hr = mask_hr.astype(np.float32)
+
+    def clear_region(self):
+        self.region_mask_hr = np.ones_like(self.region_mask_hr)
+
+    def set_uniform_z(self, values):
+        """Constant Z over the selected region (GUI.py:2158-2191)."""
+        self._push_history()
+        vals = np.asarray(values, np.float32).reshape(1, 1, 1, -1)
+        m = self.region_mask_hr[None, :, :, None]
+        self.cur_z = (1 - m) * self.cur_z + m * vals
+        return self.recompute()
+
+    def set_z_from_svd(self, lambda0: float, lambda1: float, theta: float):
+        """SVD slider semantics over the region (GUI.py:2146-2218)."""
+        z = np.asarray(svd_to_latent_z(jnp.asarray(lambda0),
+                                       jnp.asarray(lambda1),
+                                       jnp.asarray(theta)))
+        return self.set_uniform_z(z)
+
+    # ------------------------------------------------------------- cropping
+    def _crop_box(self):
+        """LR-domain bounding box of the region mask, bucketed."""
+        mask = self.region_mask_hr
+        if mask.min() >= 1.0:
+            return None
+        ys, xs = np.nonzero(mask > 0)
+        s = self.scale
+        m = self.cem.invalidity_margins_lr
+        y0, y1 = ys.min() // s - m, ys.max() // s + 1 + m
+        x0, x1 = xs.min() // s - m, xs.max() // s + 1 + m
+        h, w = self.lr_image.shape[1:3]
+        y0, y1 = _bucket(max(0, y0), min(h, y1), h, CROP_BUCKET_LR)
+        x0, x1 = _bucket(max(0, x0), min(w, x1), w, CROP_BUCKET_LR)
+        return y0, y1, x0, x1
+
+    # ------------------------------------------------------------- optimize
+    def optimize(self, objective: str, data: dict | None = None,
+                 max_iters: int | None = None,
+                 time_budget_s: float | None = None,
+                 n_alternatives: int = 1, lr: float = INITIAL_LR):
+        """Gradient-based Z edit (GUI.Optimize_Z, GUI.py:1925-2144).
+
+        ``objective`` uses the reference's vocabulary: 'l1', 'scribble',
+        'max_STD', 'min_STD', 'STD_increase', 'STD_decrease', 'Mag', 'TV',
+        'periodicity', 'periodicity_nonInt', 'hist', 'dict', 'VGG',
+        'Adversarial', 'random_l1', 'limited_random_l1', 'desired_SVD',
+        optionally prefixed with 'local_'.
+        """
+        assert self.params is not None, 'load or init generator params first'
+        data = data or {}
+        self._push_history()
+        box = self._crop_box()
+        s = self.scale
+        if box is None:
+            lr_crop = self.lr_image
+            z_full = self.cur_z
+            mask_hr = self.region_mask_hr
+            hr_slice = (slice(None), slice(None))
+        else:
+            y0, y1, x0, x1 = box
+            lr_crop = self.lr_image[:, y0:y1, x0:x1]
+            z_full = self.cur_z[:, y0 * s:y1 * s, x0 * s:x1 * s]
+            mask_hr = self.region_mask_hr[y0 * s:y1 * s, x0 * s:x1 * s]
+            hr_slice = (slice(y0 * s, y1 * s), slice(x0 * s, x1 * s))
+
+        b = n_alternatives
+        lr_batch = jnp.asarray(np.repeat(lr_crop, b, axis=0))
+        margins = self.cem.invalidity_margins_lr
+
+        def forward(z):
+            return jnp.clip(self._wrapped(self.params, lr_batch, z,
+                                          margins, pre_pad=True), 0.0, 1.0)
+
+        initial_out = np.asarray(forward(jnp.asarray(
+            np.repeat(z_full, b, axis=0))))
+        loss_fn = self._build_objective(objective, data, mask_hr,
+                                        initial_out, forward)
+        zo = ZOptimizer(forward, loss_fn, lr=lr, z_range=self.z_range)
+        theta0 = np.asarray(atanh_init(jnp.asarray(
+            np.repeat(z_full, b, axis=0)), self.z_range))
+        if b > 1 or 'random' in objective:
+            key = jax.random.PRNGKey(int(time.time() * 1e3) % (2 ** 31))
+            from exsr.zopt.optimizer import xavier_uniform_like
+            rand = np.asarray(xavier_uniform_like(key,
+                                                  jnp.asarray(theta0)))
+            if b > 1:
+                theta0 = np.concatenate([theta0[:1], rand[1:]], axis=0)
+            else:
+                theta0 = rand
+        theta = jnp.asarray(theta0)
+        frozen = jnp.asarray(np.repeat(
+            np.asarray(atanh_init(jnp.asarray(z_full), self.z_range)),
+            b, axis=0))
+        z_mask = self._z_mask(mask_hr, z_full.shape)
+
+        budget = (self.time_budget_s if time_budget_s is None
+                  else time_budget_s)
+        deadline = time.time() + budget
+        best_loss, best_theta = np.inf, theta
+        opt_state = None
+        losses_hist = []
+        rounds = 0
+        cur_lr = lr
+        while time.time() < deadline:
+            if max_iters is not None and rounds * ITERS_PER_ROUND >= \
+                    max_iters:
+                break
+            z, theta_new, opt_state, losses = zo.optimize(
+                theta, ITERS_PER_ROUND, opt_state=opt_state,
+                z_mask=z_mask, frozen_theta=frozen, use_min_loss_z=False)
+            losses_hist.extend(losses.tolist())
+            if losses[-1] < best_loss:
+                best_loss, best_theta = float(losses[-1]), theta_new
+                theta = theta_new
+            else:
+                # rollback + LR/5 (GUI.py:2065-2075,2131-2134)
+                theta = best_theta
+                cur_lr /= LR_DECAY_ON_PLATEAU
+                if cur_lr < 1e-5:
+                    break
+                zo = ZOptimizer(forward, loss_fn, lr=cur_lr,
+                                z_range=self.z_range)
+                opt_state = None
+            rounds += 1
+        eff = (z_mask * best_theta + (1 - z_mask) * frozen
+               if z_mask is not None else best_theta)
+        z_opt = np.asarray(self.z_range * jnp.tanh(eff))[:1]
+        new_z = self.cur_z.copy()
+        new_z[:, hr_slice[0], hr_slice[1]] = z_opt
+        self.cur_z = new_z
+        self.recompute()
+        return {'sr': self.sr, 'losses': losses_hist,
+                'final_loss': best_loss, 'rounds': rounds}
+
+    def _z_mask(self, mask_hr, z_shape):
+        if mask_hr.min() >= 1.0:
+            return None
+        return jnp.asarray(mask_hr[None, :, :, None]
+                           .astype(np.float32))
+
+    # ------------------------------------------------- objective dispatcher
+    def _build_objective(self, objective: str, data: dict, mask_hr,
+                         initial_out, forward) -> Callable:
+        local = 'local' in objective
+        mask = mask_hr.astype(np.float32)
+        helpers = obj.STDHelpers.create(
+            mask, local=local,
+            overlap=1.0 if 'STD' in objective else 0.5)
+        initial_std = helpers(jnp.asarray(initial_out))
+        mask_dev = jnp.asarray(mask)
+        constraining = None
+        if mask.min() < 1 and 'non_local' in data:
+            constraining = obj.non_local_constraint(
+                jnp.asarray(initial_out),
+                jnp.asarray((mask <= 0).astype(np.float32)),
+                weight=data.get('constraint_weight', 0.1))
+
+        name = objective.replace('local_', '')
+        if 'scribble' in name:
+            desired, l1_mask, tv_masks = self._scribble_targets(
+                data, mask, initial_out)
+            loss = obj.scribble(desired, l1_mask, tv_masks)
+        elif 'l1' in name and 'random' not in name:
+            desired = jnp.asarray(data['desired'])
+            loss = obj.l1_to_desired(desired, mask_dev)
+        elif name in ('max_STD', 'min_STD', 'STD_increase', 'STD_decrease'):
+            desired_std = None
+            if 'increase' in name or 'decrease' in name:
+                inc = data.get('STD_increment')
+                if inc is None:
+                    f = (obj.STD_CHANGE_FACTOR if 'increase' in name
+                         else 1 / obj.STD_CHANGE_FACTOR)
+                    desired_std = initial_std * f
+                else:
+                    desired_std = initial_std + (
+                        inc if 'increase' in name else -inc)
+            loss = obj.std_objective(helpers, name, desired_std)
+        elif 'Mag' in name:
+            gray = initial_out.mean(axis=-1)[0]
+            patches = np.asarray(jnp.take(
+                jnp.asarray(gray.reshape(-1)), helpers.indices)).T
+            std = np.maximum(patches.std(0, ddof=1, keepdims=True), 1 / 255)
+            inc = data['STD_increment'] * (
+                1 if 'increase' in name else -1)
+            desired = ((patches - patches.mean(0, keepdims=True)) / std
+                       * (std + inc) + patches.mean(0, keepdims=True))
+            loss = obj.magnitude_objective(jnp.asarray(desired.T),
+                                           helpers.indices)
+        elif 'periodicity' in name:
+            pts = data['periodicity_points']
+            desired_std = (initial_std + data['STD_increment']
+                           if 'Plus' in name and 'STD_increment' in data
+                           else None)
+            if 'nonInt' in name:
+                grids = obj.periodicity_grids(pts, mask.shape)
+                loss = obj.periodicity_nonint_objective(
+                    grids, mask_dev, helpers, initial_std, desired_std)
+            else:
+                loss = obj.periodicity_objective(
+                    [np.array(p, int) for p in pts], mask_dev, helpers,
+                    initial_std, desired_std)
+        elif 'TV' in name:
+            loss = obj.tv_objective(helpers, initial_std)
+        elif 'hist' in name or 'dict' in name:
+            shl = SoftHistogramLoss.create(
+                desired_images=[np.asarray(d) for d in data['desired']],
+                desired_masks=data.get('desired_masks'),
+                input_mask=mask,
+                patch_size=6 if 'patch' in name else 1,
+                temperature=5e-4 if 'hist' in name else 1e-3,
+                dictionary_not_histogram='dict' in name,
+                no_patch_dc='noDC' in name,
+                no_patch_std='no_localSTD' in name)
+            std_w = 1e4
+            if 'localSTD' in name:
+                base = shl
+                def loss(out, z):
+                    return base(out, z) + std_w * (
+                        (helpers(out) - initial_std) ** 2).mean()
+            else:
+                loss = shl
+        elif 'VGG' in name and 'random' not in name:
+            assert self.vgg_apply is not None, 'no feature net attached'
+            desired_feat = self.vgg_apply(jnp.asarray(data['desired']))
+            loss = obj.vgg_objective(self.vgg_apply, desired_feat)
+        elif 'Adversarial' in name:
+            assert self.d_apply is not None, 'no critic attached'
+            loss = obj.adversarial_objective(self.d_apply)
+        elif 'random' in name:
+            loss = obj.diversity_objective(
+                name, mask_dev if mask.min() < 1 else None,
+                helpers=helpers if local else None,
+                initial_std=initial_std,
+                initial_image=jnp.asarray(initial_out)
+                if 'limited' in name else None,
+                rmse_weight=data.get('rmse_weight', 0.0),
+                feature_fn=self.vgg_apply if 'VGG' in name else None)
+        else:
+            raise NotImplementedError(objective)
+        if constraining is not None:
+            loss = obj.with_constraint(loss, constraining)
+        return loss
+
+    def _scribble_targets(self, data, mask, initial_out):
+        """Desired image + masks for scribble/brightness edits
+        (Z_optimization.py:409-423)."""
+        from scipy.signal import convolve2d
+        scribble_mask = data['scribble_mask']
+        desired = np.asarray(data['desired']).copy()
+        brightness = data.get('brightness_factor', 0.0)
+        mult = np.ones_like(scribble_mask, np.float32)
+        mult += brightness * (scribble_mask == 2).astype(np.float32)
+        mult -= brightness * (scribble_mask == 3).astype(np.float32)
+        k = np.ones((3, 3)) / 9.0
+        mult = convolve2d(np.pad(mult, 1, mode='edge'), k, 'valid')
+        if brightness:
+            import colorsys
+            from exsr.utils.color import rgb2ycbcr  # noqa: F401
+            # HSV value-channel scaling of the current output
+            cur = np.clip(initial_out[0], 0, 1)
+            mx = cur.max(-1)
+            scaled = cur * (mult[..., None] * mx[..., None]
+                            / np.maximum(mx[..., None], 1e-6))
+            sel = ((scribble_mask == 2) | (scribble_mask == 3))[..., None]
+            desired = np.where(sel, np.clip(scaled, 0, 1)[None], desired)
+        l1_mask = jnp.asarray(
+            (mask * ((scribble_mask > 0) & (scribble_mask < 4)))
+            .astype(np.float32))
+        tv_ids = [i for i in np.unique(scribble_mask * mask) if i > 3]
+        tv_masks = [jnp.asarray((mask * (scribble_mask == i))
+                                .astype(np.float32)) for i in tv_ids]
+        return jnp.asarray(desired), l1_mask, tv_masks
+
+    # -------------------------------------------------------------- editing
+    def enforce_hsv_edit(self, edited_hr: np.ndarray):
+        """Make an external HR edit LR-consistent and display it
+        (GUI.py:1552-1585 via CEM Enforce_DT_on_Image_Pair)."""
+        consistent = self.cem.enforce_dt_on_image_pair(
+            self.lr_image[0], edited_hr.astype(np.float64))
+        return np.clip(consistent, 0, 1)
+
+    # ---------------------------------------------------------------- state
+    def save_z(self, path: str):
+        np.savez(path, z=self.cur_z, scale=self.scale)
+
+    def load_z(self, path: str):
+        self._push_history()
+        data = np.load(path)
+        assert int(data['scale']) == self.scale
+        self.cur_z = data['z']
+        return self.recompute()

@@ -1,0 +1,203 @@
+"""Explorable-SR training CLI — the reference's codes/train.py re-designed.
+
+Wires: datasets -> sharded batches -> compiled D/G steps -> host controller
+(gating, instability rollback) -> orbax checkpoints -> periodic validation
+at Z in {0, -1, 1} with PSNR + per-pixel-STD diversity (train.py:21-204,
+SRRaGAN_model.perform_validation:533-590).
+
+Usage:
+  python -m exsr.apps.train_sr --hr_dir DIR [--val_hr_dir DIR] --scale 4 \
+      [--opt reference_options.json] [--niter N] [--batch 16] ...
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--opt', help='reference-style options JSON (optional)')
+    p.add_argument('--hr_dir', required=True)
+    p.add_argument('--lr_dir')
+    p.add_argument('--val_hr_dir')
+    p.add_argument('--scale', type=int, default=4)
+    p.add_argument('--patch', type=int, default=208)
+    p.add_argument('--batch', type=int, default=16)
+    p.add_argument('--nb', type=int, default=23)
+    p.add_argument('--nf', type=int, default=64)
+    p.add_argument('--niter', type=int, default=None)
+    p.add_argument('--exp_dir', default='experiments/explorable_sr')
+    p.add_argument('--val_freq', type=int, default=500)
+    p.add_argument('--ckpt_freq', type=int, default=1000)
+    p.add_argument('--print_freq', type=int, default=100)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--resume', action='store_true')
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from exsr.cem.cem import CEM, CEMConf, cem_wrap
+    from exsr.models.rrdb import RRDBNet
+    from exsr.models.discriminators import DiscriminatorVGG128
+    from exsr.parallel.mesh import make_mesh, ShardingRules
+    from exsr.train.srragan import (SRRaGANTrainer, TrainConfig,
+                                    flax_d_adapter)
+    from exsr.train.controller import GANController
+    from exsr.train.checkpoints import CheckpointManager
+    from exsr.data.datasets import LRHRDataset, DataLoader
+    from exsr.utils.metrics import calculate_psnr, crop_border
+    from exsr.utils.color import tensor2img
+
+    cfg = TrainConfig(scale=args.scale, patch_size=args.patch)
+    if args.opt:
+        from exsr.options.config import parse, experiment_from_reference_json
+        exp = experiment_from_reference_json(parse(args.opt, is_train=True))
+        cfg = exp.train
+    if args.niter:
+        cfg = cfg.__class__(**{**cfg.__dict__, 'niter': args.niter})
+
+    cem = CEM.create(CEMConf(scale_factor=cfg.scale))
+    filt = cem.device_filters(3)
+    g = RRDBNet(nb=args.nb, nf=args.nf, upscale=cfg.scale,
+                latent_channels=cfg.num_latent_channels)
+    d_input = cfg.patch_size - 2 * cem.invalidity_margins_hr
+    d = DiscriminatorVGG128(base_nf=64, nb=10, num_2_strides=5,
+                            input_patch_size=d_input)
+    lr_patch = cfg.patch_size // cfg.scale
+    rng = jax.random.PRNGKey(args.seed)
+    g_params = g.init(rng, jnp.zeros((1, lr_patch, lr_patch, 3)),
+                      jnp.zeros((1, cfg.patch_size, cfg.patch_size, 3)))
+    d_vars = dict(d.init(jax.random.PRNGKey(args.seed + 1),
+                         jnp.zeros((1, d_input, d_input, 3))))
+    wrapped = cem_wrap(lambda pp, x, z: g.apply(pp, x, z), filt,
+                       upscale=cfg.scale)
+    g_apply = lambda pp, x, z: wrapped(pp, x, z, 0, pre_pad=False)
+
+    mesh = make_mesh(spatial=1)
+    rules = ShardingRules(mesh)
+    trainer = SRRaGANTrainer(cfg, g_apply, flax_d_adapter(d),
+                             margins_hr=cem.invalidity_margins_hr,
+                             rules=rules)
+    state = trainer.init_state(g_params, d_vars, jax.random.PRNGKey(
+        args.seed + 2))
+    ctl = GANController(
+        d_update_ratio=cfg.d_update_ratio,
+        d_valid_steps_4_g=cfg.d_valid_steps_4_g_update,
+        min_d_prob_ratio_4_g=cfg.min_d_prob_ratio_4_g,
+        min_mean_d_correct=cfg.min_mean_d_correct,
+        d_init_iters=cfg.d_init_iters,
+        steps_4_loss_std=cfg.steps_4_loss_std,
+        std_4_lr_drop=cfg.std_4_lr_drop,
+        lr_gamma=cfg.lr_gamma)
+
+    os.makedirs(args.exp_dir, exist_ok=True)
+    ckpts = CheckpointManager(os.path.abspath(
+        os.path.join(args.exp_dir, 'ckpt')), max_to_keep=3,
+        save_interval_steps=args.ckpt_freq)
+    if args.resume and ckpts.latest_step() is not None:
+        state, ctl_state = ckpts.restore(state, with_controller=True)
+        if ctl_state:
+            ctl.step = ctl_state['step']
+            ctl.generator_started_learning = \
+                ctl_state['generator_started_learning']
+            ctl.verified_d_saved = ctl_state['verified_d_saved']
+            ctl.lr_scale = ctl_state['lr_scale']
+        print(f'resumed at step {ctl.step}')
+
+    ds = LRHRDataset(hr_root=args.hr_dir, lr_root=args.lr_dir,
+                     scale=cfg.scale, patch_size=cfg.patch_size,
+                     train=True)
+    loader = DataLoader(ds, batch_size=args.batch, seed=args.seed)
+    val_ds = None
+    if args.val_hr_dir:
+        val_ds = LRHRDataset(hr_root=args.val_hr_dir, scale=cfg.scale,
+                             train=False, patch_size=None)
+
+    def validate(step):
+        psnrs, stds = [], []
+        for i in range(min(len(val_ds), 8)):
+            item = val_ds[i]
+            lr_in = item['lr'][None]
+            zh = (lr_in.shape[1] * cfg.scale, lr_in.shape[2] * cfg.scale)
+            outs = []
+            for zval in (0.0, -1.0, 1.0):
+                z = np.full((1, zh[0], zh[1], cfg.num_latent_channels),
+                            zval, np.float32)
+                out = wrapped(state.g_params, jnp.asarray(lr_in),
+                              jnp.asarray(z), cem.invalidity_margins_lr,
+                              pre_pad=True)
+                outs.append(np.asarray(jnp.clip(out, 0, 1)))
+            sr = tensor2img(outs[0])
+            gt = tensor2img(item['hr'][None])
+            psnrs.append(calculate_psnr(
+                crop_border(sr.astype(np.float64), cfg.scale),
+                crop_border(gt.astype(np.float64), cfg.scale)))
+            stds.append(float(np.stack(outs).std(axis=0).mean()))
+        print(json.dumps({'step': step, 'psnr_val': float(np.mean(psnrs)),
+                          'per_pix_STD_val': float(np.mean(stds))}))
+
+    t0 = time.time()
+    epoch = 0
+    log_accum = {}
+    while ctl.step < cfg.niter:
+        for batch in loader.epoch(epoch):
+            if ctl.step >= cfg.niter:
+                break
+            batch = rules.shard_batch(
+                {'lr': batch['lr'], 'hr': batch['hr']})
+            dual = (cfg.optimal_z_weight is not None
+                    and ctl.generator_started_learning)
+            do_d = ctl.want_d_step()
+            do_g = ctl.want_g_step()
+            if do_d:
+                state, d_metrics = trainer.d_step(state, batch, dual=dual)
+                ctl.record_d({k: float(v) for k, v in d_metrics.items()
+                              if np.ndim(v) == 0})
+                log_accum.update({k: float(v) for k, v in d_metrics.items()
+                                  if np.ndim(v) == 0})
+            if do_g:
+                state, g_metrics = trainer.g_step(state, batch, dual=dual,
+                                                  use_gan=True)
+                ctl.record_g()
+                log_accum.update({k: float(v) for k, v in g_metrics.items()
+                                  if np.ndim(v) == 0})
+            state = trainer.advance(state)
+            ctl.tick()
+
+            if ctl.step % cfg.steps_4_loss_std == 0:
+                rollback, too_low = ctl.check_lr_drop()
+                if too_low:
+                    print('LR below 1e-8 — stopping (instability).')
+                    return
+                if rollback:
+                    back_step, state = ckpts.restore_before(
+                        state, ctl.step - cfg.steps_4_loss_std)
+                    print(f'instability rollback to step {back_step}, '
+                          f'lr_scale={ctl.lr_scale}')
+            if ctl.step % args.print_freq == 0:
+                log_accum['steps_per_s'] = args.print_freq / max(
+                    time.time() - t0, 1e-9)
+                t0 = time.time()
+                print(json.dumps({'step': ctl.step, **{
+                    k: round(v, 5) for k, v in log_accum.items()}}))
+            if val_ds and ctl.step % args.val_freq == 0:
+                validate(ctl.step)
+            ckpts.save(ctl.step, state, controller_state={
+                'step': ctl.step,
+                'generator_started_learning':
+                    ctl.generator_started_learning,
+                'verified_d_saved': ctl.verified_d_saved,
+                'lr_scale': ctl.lr_scale})
+        epoch += 1
+    ckpts.save(ctl.step, state, force=True)
+    ckpts.wait()
+    print('training done at step', ctl.step)
+
+
+if __name__ == '__main__':
+    main()

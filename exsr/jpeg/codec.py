@@ -1,0 +1,187 @@
+"""Differentiable JPEG codec — the DCT-domain pipeline of explorable JPEG
+decoding (reference: codes/JPEG_module/JPEG.py, 202 LoC).
+
+Faithful semantics, channels-last layout ([N, h/bs, w/bs, bs*bs] coefficient
+maps instead of the reference's [N, bs*bs, h, w]):
+  * standard luma/chroma quantization tables scaled by the libjpeg QF
+    convention (Set_Q_Table, JPEG.py:74-91), per-sample QF batches;
+  * blockize, -128 level shift, orthonormal 2-D DCT, divide-by-Q
+    (+ round when quantizing) — JPEG.py:97-163;
+  * chroma mode on 16x16 blocks with edge-padded Q tables
+    (FACTORIZE_CHROMA_HIGH_FREQS, JPEG.py:59-63) and chroma downsampling
+    modeled as wiping the high-frequency DCT coefficients (JPEG.py:143-151);
+  * the quantization-bin consistency clamp — the JPEG analogue of the CEM
+    (Enforce_pair_Consistency/Consistent_Correction,
+    DecompCNN_model.py:316-334).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from exsr.ops.dct import image_to_dct, dct_to_image
+
+# Standard JPEG quantization tables (ITU T.81 Annex K).
+LUMA_Q_TABLE = np.array((
+    (16, 11, 10, 16, 24, 40, 51, 61),
+    (12, 12, 14, 19, 26, 58, 60, 55),
+    (14, 13, 16, 24, 40, 57, 69, 56),
+    (14, 17, 22, 29, 51, 87, 80, 62),
+    (18, 22, 37, 56, 68, 109, 103, 77),
+    (24, 36, 55, 64, 81, 104, 113, 92),
+    (49, 64, 78, 87, 103, 121, 120, 101),
+    (72, 92, 95, 98, 112, 100, 103, 99)), dtype=np.float64)
+
+CHROMA_Q_TABLE = np.array((
+    (17, 18, 24, 47, 99, 99, 99, 99),
+    (18, 21, 26, 66, 99, 99, 99, 99),
+    (24, 26, 56, 99, 99, 99, 99, 99),
+    (47, 66, 99, 99, 99, 99, 99, 99),
+    (99, 99, 99, 99, 99, 99, 99, 99),
+    (99, 99, 99, 99, 99, 99, 99, 99),
+    (99, 99, 99, 99, 99, 99, 99, 99),
+    (99, 99, 99, 99, 99, 99, 99, 99)), dtype=np.float64)
+
+ZIGZAG_ORDER = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+
+def zigzag_decode_q_table(flat: np.ndarray) -> np.ndarray:
+    """64 zigzag-ordered values (as stored in JPEG files) -> 8x8 table
+    (utils/util.py:447-452)."""
+    table = np.zeros(64, flat.dtype)
+    table[ZIGZAG_ORDER] = flat
+    return table.reshape(8, 8)
+
+
+def qf_to_factor(qf: jnp.ndarray) -> jnp.ndarray:
+    """libjpeg quality-factor scaling (JPEG.py:77-78)."""
+    qf = jnp.asarray(qf, jnp.float32)
+    return jnp.where(qf < 50, 5000.0 / qf, 200.0 - 2.0 * qf)
+
+
+def scaled_q_table(qf: jnp.ndarray, base_table: np.ndarray) -> jnp.ndarray:
+    """[B] QFs -> [B, 1, 1, bs*bs] absolute quantization steps:
+    ``clip(round(factor * Q / 100), 1, 255)`` (JPEG.py:71-82: the stored
+    table is Q/100 and the scaled table is rounded then clamped)."""
+    base = jnp.asarray(base_table.reshape(-1) / 100.0, jnp.float32)
+    factor = qf_to_factor(qf)[:, None]
+    q = jnp.clip(jnp.round(factor * base[None, :]), 1.0, 255.0)
+    return q[:, None, None, :]
+
+
+def pad_q_table(base: np.ndarray, bs: int) -> np.ndarray:
+    """Edge-pad an 8x8 table to bs x bs (JPEG.py:62-63)."""
+    return np.pad(base, ((0, bs - 8), (0, bs - 8)), mode='edge')
+
+
+@dataclasses.dataclass(frozen=True)
+class JPEGCodec:
+    """Luma (bs=8) or chroma-mode (bs=16, 3-channel) codec."""
+    chroma_mode: bool = False
+    block_size: int = 8
+
+    def q_tables(self, qf: jnp.ndarray):
+        if not self.chroma_mode:
+            return scaled_q_table(qf, LUMA_Q_TABLE)
+        bs = self.block_size
+        return (scaled_q_table(qf, pad_q_table(LUMA_Q_TABLE, bs)),
+                scaled_q_table(qf, pad_q_table(CHROMA_Q_TABLE, bs)))
+
+    # --------------------------------------------------------------- luma
+    def compress(self, image: jnp.ndarray, qf: jnp.ndarray,
+                 quantize: bool = True) -> jnp.ndarray:
+        """[N, H, W, 1] Y image in [0,255] -> [N, H/8, W/8, 64] normalized
+        coefficients (JPEG.py:129-163)."""
+        assert not self.chroma_mode
+        q = self.q_tables(qf)
+        coeffs = image_to_dct(image - 128.0, bs=8) / q
+        return jnp.round(coeffs) if quantize else coeffs
+
+    def extract(self, coeffs: jnp.ndarray, qf: jnp.ndarray) -> jnp.ndarray:
+        """Inverse of :meth:`compress` (JPEG.py:164-197)."""
+        assert not self.chroma_mode
+        q = self.q_tables(qf)
+        return dct_to_image(coeffs * q, bs=8) + 128.0
+
+    # ------------------------------------------------------------- chroma
+    def compress_ycbcr(self, image: jnp.ndarray, qf: jnp.ndarray,
+                       downsample_or_quantize=True) -> jnp.ndarray:
+        """[N, H, W, 3] YCbCr in [0,255] -> packed coefficients.
+
+        bs=16 blocks; Y normalized by the padded luma table, chroma by the
+        padded chroma table; chroma 'downsampling' wipes the coefficients
+        outside the low-frequency 8x8 quadrant (JPEG.py:133-154).
+        Output: [N, H/16, W/16, 256 + 64 + 64] when downsampling
+        (Y full + Cb/Cr low-freq), else [N, H/16, W/16, 3*256].
+        """
+        assert self.chroma_mode
+        bs = self.block_size
+        qy, qc = self.q_tables(qf)
+        shift = jnp.asarray([128.0, 0.0, 0.0])
+        chans = []
+        for c in range(3):
+            coeffs = image_to_dct(image[..., c:c + 1] - shift[c], bs=bs)
+            coeffs = coeffs / (qy if c == 0 else qc)
+            chans.append(coeffs)
+        if not downsample_or_quantize:
+            return jnp.concatenate(chans, axis=-1)
+        low = []
+        for c in (1, 2):
+            cc = chans[c].reshape(chans[c].shape[:3] + (bs, bs))
+            cc = cc[..., :8, :8]
+            if downsample_or_quantize != 'downsample_only':
+                cc = jnp.round(cc)
+            low.append(cc.reshape(cc.shape[:3] + (64,)))
+        return jnp.concatenate([chans[0]] + low, axis=-1)
+
+    def extract_ycbcr(self, coeffs: jnp.ndarray, qf: jnp.ndarray
+                      ) -> jnp.ndarray:
+        """Packed coefficients -> [N, H, W, num_channels] (JPEG.py:164-201).
+
+        Accepts: 2*bs^2 channels (two full chroma channels), 2*64 (chroma
+        low-freq only), or bs^2 + 2*64 (Y + chroma low-freq — the generator
+        input)."""
+        assert self.chroma_mode
+        bs = self.block_size
+        qy, qc = self.q_tables(qf)
+        nc = coeffs.shape[-1]
+
+        def lift_low(c64):  # pad 8x8 low-freq into a bs x bs block
+            blocks = c64.reshape(c64.shape[:3] + (8, 8))
+            blocks = jnp.pad(blocks, ((0, 0),) * 3
+                             + ((0, bs - 8), (0, bs - 8)))
+            return blocks.reshape(c64.shape[:3] + (bs * bs,))
+
+        if nc == 2 * bs ** 2:
+            chans = [coeffs[..., :bs ** 2], coeffs[..., bs ** 2:]]
+            qs = [qc, qc]
+            shifts = [0.0, 0.0]
+        elif nc == 2 * 64:
+            chans = [lift_low(coeffs[..., :64]), lift_low(coeffs[..., 64:])]
+            qs = [qc, qc]
+            shifts = [0.0, 0.0]
+        elif nc == bs ** 2 + 2 * 64:
+            chans = [coeffs[..., :bs ** 2],
+                     lift_low(coeffs[..., bs ** 2:bs ** 2 + 64]),
+                     lift_low(coeffs[..., bs ** 2 + 64:])]
+            qs = [qy, qc, qc]
+            shifts = [128.0, 0.0, 0.0]
+        else:
+            raise ValueError(f'unexpected channel count {nc}')
+        out = [dct_to_image(c * q, bs=bs) + s
+               for c, q, s in zip(chans, qs, shifts)]
+        return jnp.concatenate(out, axis=-1)
+
+
+def consistency_clamp(coeffs: jnp.ndarray, quantized: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """Clamp coefficients to within +-0.5 bin of the quantized input — the
+    JPEG analogue of the CEM (Consistent_Correction,
+    DecompCNN_model.py:316-334)."""
+    return jnp.clip(coeffs, quantized - 0.5, quantized + 0.5)

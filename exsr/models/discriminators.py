@@ -98,6 +98,9 @@ class DiscriminatorVGG128(nn.Module):
             x = nn.leaky_relu(nn.Dense(100)(x), 0.2)
             return nn.Dense(1)(x)
         # patch head: conv k=8 VALID (+BN+lrelu), lrelu, 1x1 conv head
+        assert size >= 8, (
+            f'feature map {size}x{size} too small for the 8x8 patch head — '
+            f'use fewer stride-2 stages or a larger input patch')
         nf_last = plan[-1][0]
         x = ConvBlock(min(100, nf_last), kernel=8, padding=0,
                       name='pseudo_fc0')(x, train)

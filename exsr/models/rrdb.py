@@ -48,13 +48,14 @@ class ZConv(nn.Module):
     features: int
     init_scale: float = 0.1
     use_bias: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, z):
         if z is not None:
-            x = jnp.concatenate([z, x], axis=-1)
+            x = jnp.concatenate([z.astype(x.dtype), x], axis=-1)
         return nn.Conv(self.features, (3, 3), padding='SAME',
-                       use_bias=self.use_bias,
+                       use_bias=self.use_bias, dtype=self.dtype,
                        kernel_init=kaiming_conv_init(self.init_scale))(x)
 
 
@@ -64,15 +65,18 @@ class ResidualDenseBlock(nn.Module):
     nf: int = 64
     gc: int = 32
     init_scale: float = 0.1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, z):
         feats = [x]
         for i in range(4):
-            out = ZConv(self.gc, self.init_scale, name=f'conv{i}')(
+            out = ZConv(self.gc, self.init_scale, dtype=self.dtype,
+                        name=f'conv{i}')(
                 jnp.concatenate(feats, axis=-1), z)
             feats.append(nn.leaky_relu(out, 0.2))
-        out = ZConv(self.nf, self.init_scale, name='conv4')(
+        out = ZConv(self.nf, self.init_scale, dtype=self.dtype,
+                    name='conv4')(
             jnp.concatenate(feats, axis=-1), z)
         return out * 0.2 + x
 
@@ -83,15 +87,16 @@ class RRDB(nn.Module):
     nf: int = 64
     gc: int = 32
     init_scale: float = 0.1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, z):
         out = ResidualDenseBlock(self.nf, self.gc, self.init_scale,
-                                 name='rdb1')(x, z)
+                                 self.dtype, name='rdb1')(x, z)
         out = ResidualDenseBlock(self.nf, self.gc, self.init_scale,
-                                 name='rdb2')(out, z)
+                                 self.dtype, name='rdb2')(out, z)
         out = ResidualDenseBlock(self.nf, self.gc, self.init_scale,
-                                 name='rdb3')(out, z)
+                                 self.dtype, name='rdb3')(out, z)
         return out * 0.2 + x
 
 
@@ -109,18 +114,23 @@ class RRDBNet(nn.Module):
     upscale: int = 4
     latent_channels: int = 0
     init_scale: float = 0.1
+    dtype: object = None   # compute dtype; jnp.bfloat16 for TPU inference
 
     @nn.compact
     def __call__(self, lr, z_hr=None):
         assert (z_hr is None) == (self.latent_channels == 0)
         n, h, w, _ = lr.shape
+        in_dtype = lr.dtype
+        if self.dtype is not None:
+            lr = lr.astype(self.dtype)
+            z_hr = z_hr.astype(self.dtype) if z_hr is not None else None
         if z_hr is not None:
             z_lr = bilinear_resize(z_hr, h, w)
             x = jnp.concatenate([z_lr, lr], axis=-1)
         else:
             z_lr = None
             x = lr
-        fea = nn.Conv(self.nf, (3, 3), padding='SAME',
+        fea = nn.Conv(self.nf, (3, 3), padding='SAME', dtype=self.dtype,
                       kernel_init=kaiming_conv_init(self.init_scale),
                       name='fea_conv')(x)
 
@@ -131,10 +141,10 @@ class RRDBNet(nn.Module):
             split_rngs={'params': True},
             in_axes=nn.broadcast,
             length=self.nb,
-        )(self.nf, self.gc, self.init_scale, name='trunk')
+        )(self.nf, self.gc, self.init_scale, self.dtype, name='trunk')
         trunk, _ = block(fea, z_lr)
-        trunk = ZConv(self.nf, self.init_scale, name='trunk_conv')(trunk,
-                                                                   z_lr)
+        trunk = ZConv(self.nf, self.init_scale, dtype=self.dtype,
+                      name='trunk_conv')(trunk, z_lr)
         x = fea + trunk
 
         # Upsampling: 2x nearest + conv per stage, no Z (architecture.py:
@@ -144,15 +154,18 @@ class RRDBNet(nn.Module):
             f = 3 if self.upscale == 3 else 2
             x = nearest_upsample(x, f)
             x = nn.leaky_relu(nn.Conv(
-                self.nf, (3, 3), padding='SAME',
+                self.nf, (3, 3), padding='SAME', dtype=self.dtype,
                 kernel_init=kaiming_conv_init(self.init_scale),
                 name=f'upconv{i}')(x), 0.2)
 
         # HR convs receive the full-HR latent map.
         x = nn.leaky_relu(
-            ZConv(self.nf, self.init_scale, name='hr_conv0')(x, z_hr), 0.2)
-        x = ZConv(self.out_nc, self.init_scale, name='hr_conv1')(x, z_hr)
-        return x
+            ZConv(self.nf, self.init_scale, dtype=self.dtype,
+                  name='hr_conv0')(x, z_hr), 0.2)
+        x = ZConv(self.out_nc, self.init_scale, dtype=self.dtype,
+                  name='hr_conv1')(x, z_hr)
+        # CEM consistency math downstream runs in fp32 regardless
+        return x.astype(in_dtype)
 
 
 class RRDBScanBody(nn.Module):
@@ -160,7 +173,9 @@ class RRDBScanBody(nn.Module):
     nf: int
     gc: int
     init_scale: float
+    dtype: object = None
 
     @nn.compact
     def __call__(self, carry, z):
-        return RRDB(self.nf, self.gc, self.init_scale)(carry, z), None
+        return RRDB(self.nf, self.gc, self.init_scale,
+                    self.dtype)(carry, z), None

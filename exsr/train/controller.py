@@ -1,0 +1,170 @@
+"""Host-side GAN training controller.
+
+The reference interleaves this control flow with its compute graph
+(SRRaGAN_model.py:280-521, 592-632; utils/util.py:113-168); here it is a
+plain state machine over logged scalars, deciding per outer iteration:
+  * whether D steps and/or G steps run (update ratio + D-verification),
+  * whether the training is unstable and should roll back to an earlier
+    checkpoint with halved LR (D-loss-STD trigger),
+  * when to give up (LR below 1e-8).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class GDUpdateController:
+    """Adaptive G/D step-interval controller (utils/util.py:113-168).
+
+    ``intervals_values`` is either a scalar ratio (positive: D:G steps per
+    G step; negative: G steps per D step) or a pair of (interval-range,
+    value-range) lists mapping a monitored value linearly onto an interval.
+    """
+    intervals_values: object = 0
+    dg_steps_ratio: float = 0.0
+    steps_since_d: int = 0
+    steps_since_g: int = 0
+    force_d: bool = False
+    last_g_interval: int = 0
+    last_d_interval: int = 0
+
+    def __post_init__(self):
+        if not isinstance(self.intervals_values, (list, tuple)):
+            self.dg_steps_ratio = float(self.intervals_values)
+
+    def _interval(self, value: float) -> float:
+        iv = self.intervals_values
+        if not isinstance(iv, (list, tuple)):
+            return float(iv)
+        a = (iv[0][1] - iv[0][0]) / (iv[1][1] - iv[1][0])
+        return float(np.clip(a * (value - iv[1][1]) + iv[0][1],
+                             min(iv[0]), max(iv[0])))
+
+    def step_query(self, g_not_d: bool) -> bool:
+        if g_not_d:
+            self.steps_since_g += 1
+            return self.steps_since_g >= self.dg_steps_ratio
+        self.steps_since_d += 1
+        return self.steps_since_d >= -self.dg_steps_ratio or self.force_d
+
+    def step_performed(self, g_not_d: bool) -> None:
+        if g_not_d:
+            self.last_g_interval = self.steps_since_g
+            self.steps_since_g = 0
+        else:
+            self.force_d = False
+            self.last_d_interval = self.steps_since_d
+            self.steps_since_d = 0
+
+    def update_ratio(self, value: float) -> None:
+        self.dg_steps_ratio = self._interval(value)
+
+    def query_update_ratio(self) -> float:
+        if self.last_d_interval > self.last_g_interval:
+            return -self.last_d_interval
+        return self.last_g_interval
+
+
+@dataclasses.dataclass
+class GANController:
+    """Per-step gating + instability detection (SRRaGAN_model semantics)."""
+    d_update_ratio: object = 10
+    d_valid_steps_4_g: int = 10
+    min_d_prob_ratio_4_g: float = 1.05
+    min_mean_d_correct: float = 0.9
+    d_init_iters: int = 0
+    d_verification: str | None = 'past'
+    steps_4_loss_std: int = 500
+    std_4_lr_drop: float | None = 1e6
+    lr_gamma: float = 0.5
+
+    step: int = 0
+    generator_started_learning: bool = False
+    verified_d_saved: bool = False
+    lr_scale: float = 1.0
+    log: dict = dataclasses.field(default_factory=dict)
+    gd_controller: GDUpdateController | None = None
+
+    def __post_init__(self):
+        for k in ('D_logits_diff', 'Correctly_distinguished', 'l_d_real',
+                  'l_d_fake', 'D_loss_STD'):
+            self.log.setdefault(k, [])
+        if isinstance(self.d_update_ratio, (list, tuple)):
+            self.gd_controller = GDUpdateController(self.d_update_ratio)
+
+    # --------------------------------------------------------------- gating
+    def want_g_step(self) -> bool:
+        """SRRaGAN_model.py:287-295 + the 'past' D-verification gate
+        (:379-382)."""
+        if self.step <= self.d_init_iters:
+            return False
+        if self.gd_controller is not None:
+            ok = self.gd_controller.step_query(True)
+        else:
+            ratio = max(1, int(self.d_update_ratio))
+            ok = self.step % ratio == 0
+        if not ok:
+            return False
+        if self.d_verification == 'past' and self.d_valid_steps_4_g > 0:
+            n = self.d_valid_steps_4_g
+            diffs = self.log['D_logits_diff'][-n:]
+            correct = self.log['Correctly_distinguished'][-n:]
+            if len(diffs) < n:
+                return False
+            thresh = np.log(self.min_d_prob_ratio_4_g)
+            return (all(v > thresh for v in diffs)
+                    and all(v > self.min_mean_d_correct for v in correct))
+        return True
+
+    def want_d_step(self) -> bool:
+        """SRRaGAN_model.py:296-305."""
+        if self.step < -self.d_init_iters:
+            return False
+        if self.gd_controller is not None:
+            return self.gd_controller.step_query(False)
+        if not self.verified_d_saved:
+            return True
+        ratio = max(1, int(np.ceil(1 / max(self.d_update_ratio, 1e-9))))
+        return self.step % ratio == 0
+
+    # -------------------------------------------------------------- logging
+    def record_d(self, metrics: dict) -> None:
+        self.log['D_logits_diff'].append(float(metrics['D_logits_diff']))
+        self.log['Correctly_distinguished'].append(
+            float(metrics['Correctly_distinguished']))
+        self.log['l_d_real'].append(float(metrics.get(
+            'l_d_real_0', metrics.get('l_d_real', 0.0))))
+        self.log['l_d_fake'].append(float(metrics.get(
+            'l_d_fake_0', metrics.get('l_d_fake', 0.0))))
+        if self.gd_controller is not None:
+            self.gd_controller.step_performed(False)
+
+    def record_g(self) -> None:
+        self.generator_started_learning = True
+        self.verified_d_saved = True
+        if self.gd_controller is not None:
+            self.gd_controller.step_performed(True)
+
+    def tick(self) -> None:
+        self.step += 1
+
+    # ---------------------------------------------------- stability rollback
+    def check_lr_drop(self) -> tuple[bool, bool]:
+        """(should_rollback, lr_too_low) — LOSS_BASED branch of
+        update_learning_rate (SRRaGAN_model.py:592-632): rollback when the
+        recent D-loss STD exceeds the threshold; abort when LR < 1e-8."""
+        n = self.steps_4_loss_std
+        if len(self.log['D_logits_diff']) < 2 * n:
+            return False, False
+        vals = [(r + f) / 2 for r, f in zip(self.log['l_d_real'][-n:],
+                                            self.log['l_d_fake'][-n:])]
+        std = float(np.std(vals))
+        self.log['D_loss_STD'].append((self.step, std))
+        if self.std_4_lr_drop is None or std <= self.std_4_lr_drop:
+            return False, False
+        self.lr_scale *= self.lr_gamma
+        too_low = self.lr_scale * 1e-5 < 1e-8
+        return True, too_low

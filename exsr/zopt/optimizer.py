@@ -1,0 +1,142 @@
+"""Z-space optimizer — the edit engine, as one jitted lax.scan.
+
+The reference's Z_optimizer (Z_optimization.py:328-797) re-runs an un-jitted
+full generator forward+backward per Adam step from Python.  Here the whole
+edit loop — Z reparameterization, generator forward, objective, backward,
+Adam update, min-loss-Z tracking — is a single compiled ``lax.scan`` over
+steps: one device launch per ``optimize()`` call, no host round-trips.
+
+Faithful semantics:
+  * Z = z_range * tanh(pre_tanh_z); frozen-region masking blends optimized
+    and initial pre-tanh Z (Optimizable_Z, Z_optimization.py:273-306);
+  * Adam on Z only, generator parameters frozen (constants baked into the
+    compiled graph — Manage_Model_Grad_Requirements, :637-645);
+  * the minimum-loss Z across iterations is returned, not the last
+    (:755-762);
+  * negative ``max_iters`` means "iterate until the loss plateaus, capped at
+    5x|max_iters|" (:663-670) — realized as chunked scans with a host-side
+    plateau check (the loss history is a device array; one sync per chunk);
+  * random re-initialization for diverse alternatives uses the xavier-uniform
+    gain-100 convention (:308-313);
+  * non-local editing adds an L1 constraint holding the image outside the
+    mask at its initial value (:386-390, 743-746).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+MIN_LR = 1e-5  # Z_optimization.py:329
+
+
+def atanh_init(z: jnp.ndarray, z_range: float) -> jnp.ndarray:
+    """Map an existing Z into pre-tanh space (Z_optimization.py:336-340)."""
+    eps = jnp.finfo(z.dtype).eps
+    r = jnp.clip(z / z_range, -1 + eps, 1 - eps)
+    return jnp.arctanh(r)
+
+
+def xavier_uniform_like(key: jax.Array, z: jnp.ndarray, gain: float = 100.0
+                        ) -> jnp.ndarray:
+    """torch.nn.init.xavier_uniform_(z, gain=100) on a [B, H, W, C] map
+    (torch computes fans on [B, C, h, w]: fan_in = C*h*w, fan_out = B*h*w)."""
+    b, h, w, c = z.shape
+    fan_in, fan_out = c * h * w, b * h * w
+    a = gain * np.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, z.shape, z.dtype, -a, a)
+
+
+@dataclasses.dataclass(frozen=True)
+class ZOptimizer:
+    """Compiled Z-space optimizer for one (objective, shape) pair.
+
+    ``forward_fn(z) -> out``: the frozen CEM-wrapped generator, closed over
+    params and the LR input.  ``objective_fn(out, z) -> scalar``.
+    """
+    forward_fn: Callable
+    objective_fn: Callable
+    lr: float = 0.1            # GUI default (GUI.py:51-62)
+    z_range: float = 1.0
+
+    def __post_init__(self):
+        object.__setattr__(self, '_opt', optax.adam(self.lr))
+        object.__setattr__(self, '_run', jax.jit(
+            self._run_impl, static_argnames=('n_steps',)))
+
+    def init_state(self, pre_tanh_z: jnp.ndarray):
+        return self._opt.init(pre_tanh_z)
+
+    def _effective(self, theta, z_mask, frozen_theta):
+        if z_mask is None:
+            return theta
+        return z_mask * theta + (1.0 - z_mask) * frozen_theta
+
+    def _run_impl(self, theta, opt_state, z_mask, frozen_theta, n_steps):
+        def loss_of(theta):
+            eff = self._effective(theta, z_mask, frozen_theta)
+            z = self.z_range * jnp.tanh(eff)
+            out = self.forward_fn(z)
+            return self.objective_fn(out, z)
+
+        grad_fn = jax.value_and_grad(loss_of)
+
+        def step(carry, _):
+            theta, opt_state, best_loss, best_theta = carry
+            loss, g = grad_fn(theta)
+            updates, opt_state = self._opt.update(g, opt_state)
+            new_theta = optax.apply_updates(theta, updates)
+            better = loss < best_loss
+            best_loss = jnp.where(better, loss, best_loss)
+            best_theta = jax.tree.map(
+                lambda bt, t: jnp.where(better, t, bt), best_theta, theta)
+            return (new_theta, opt_state, best_loss, best_theta), loss
+
+        init = (theta, opt_state, jnp.inf, theta)
+        (theta, opt_state, best_loss, best_theta), losses = jax.lax.scan(
+            step, init, None, length=n_steps)
+        return theta, opt_state, best_loss, best_theta, losses
+
+    def optimize(self, pre_tanh_z: jnp.ndarray, max_iters: int,
+                 opt_state=None, z_mask: jnp.ndarray | None = None,
+                 frozen_theta: jnp.ndarray | None = None,
+                 use_min_loss_z: bool = True):
+        """Run the edit loop; returns (z, pre_tanh_z, opt_state, losses).
+
+        ``max_iters`` < 0 runs in plateau mode: chunks of |max_iters| steps
+        until relative improvement < 1e-2 * lr, capped at 5 chunks
+        (Z_optimization.py:663-670).
+        """
+        theta = pre_tanh_z
+        if opt_state is None:
+            opt_state = self.init_state(theta)
+        if frozen_theta is None:
+            frozen_theta = theta
+        all_losses = []
+        best = (np.inf, theta)
+        if max_iters > 0:
+            chunks, chunk_len = 1, max_iters
+        else:
+            chunks, chunk_len = 5, -max_iters
+        for c in range(chunks):
+            theta, opt_state, best_loss, best_theta, losses = self._run(
+                theta, opt_state, z_mask, frozen_theta, n_steps=chunk_len)
+            losses = np.asarray(losses)
+            all_losses.extend(losses.tolist())
+            if float(best_loss) < best[0]:
+                best = (float(best_loss), best_theta)
+            if max_iters < 0 and c > 0:
+                ref = all_losses[max_iters]
+                if (ref - all_losses[-1]) / (abs(ref) + 1e-30) \
+                        < 1e-2 * self.lr:
+                    break
+        final_theta = best[1] if (use_min_loss_z
+                                  and best[0] <= all_losses[-1]) else theta
+        eff = self._effective(final_theta, z_mask, frozen_theta)
+        z = self.z_range * jnp.tanh(eff)
+        return z, final_theta, opt_state, np.asarray(all_losses)

@@ -1,0 +1,132 @@
+"""Data pipeline, config, and metrics tests."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from exsr.data.datasets import LRHRDataset, JPEGDataset, DataLoader
+from exsr.utils.metrics import calculate_psnr, calculate_ssim, crop_border
+from exsr.utils.color import rgb2ycbcr, ycbcr2rgb, modcrop, tensor2img
+from exsr.options import config as C
+
+
+@pytest.fixture(scope='module')
+def image_dir(tmp_path_factory):
+    from PIL import Image
+    d = tmp_path_factory.mktemp('imgs')
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        arr = (rng.uniform(size=(96 + 8 * i, 104, 3)) * 255).astype('uint8')
+        Image.fromarray(arr).save(d / f'im{i}.png')
+    return str(d)
+
+
+def test_lrhr_dataset_synthesized_lr(image_dir):
+    ds = LRHRDataset(hr_root=image_dir, scale=4, patch_size=64, train=True)
+    item = ds.__getitem__(0, rng=np.random.default_rng(0))
+    assert item['lr'].shape == (16, 16, 3)
+    assert item['hr'].shape == (64, 64, 3)
+    # LR must be the CEM-consistent downscale of the same content: crop
+    # alignment means downscaling the HR patch reproduces the LR patch
+    from exsr.ops.resize import imresize
+    down = imresize(item['hr'].astype(np.float64), 0.25)
+    assert np.abs(down[4:-4, 4:-4] - item['lr'][4:-4, 4:-4]).max() < 0.35
+
+
+def test_dataloader_batches_deterministic(image_dir):
+    ds = LRHRDataset(hr_root=image_dir, scale=4, patch_size=32, train=True)
+    dl = DataLoader(ds, batch_size=2, seed=7, num_threads=2)
+    b1 = [b['lr'].copy() for b in dl.epoch(0)]
+    b2 = [b['lr'].copy() for b in dl.epoch(0)]
+    assert len(b1) == 2
+    for a, b in zip(b1, b2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_jpeg_dataset(image_dir):
+    ds = JPEGDataset(root=image_dir, patch_size=64,
+                     qf_spec=((10, 0.5), ((20, 40), 0.5)))
+    item = ds.__getitem__(0, rng=np.random.default_rng(0))
+    assert item['uncomp'].shape == (64, 64, 1)
+    assert 0 < item['uncomp'].max() <= 255
+    assert item['qf'] in range(5, 51)
+
+
+def test_psnr_ssim_identities():
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(size=(64, 64, 3)) * 255).astype(np.float64)
+    assert calculate_psnr(img, img) == float('inf')
+    assert calculate_ssim(img, img) == pytest.approx(1.0, abs=1e-9)
+    noisy = img + rng.normal(0, 5, img.shape)
+    p = calculate_psnr(img, noisy)
+    assert 30 < p < 38
+    assert 0.5 < calculate_ssim(img, noisy) < 1.0
+    assert crop_border(img, 4).shape == (56, 56, 3)
+
+
+def test_color_round_trip():
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0.2, 0.8, size=(16, 16, 3)).astype(np.float64)
+    ycbcr = rgb2ycbcr(img.copy(), only_y=False)
+    back = ycbcr2rgb(ycbcr.copy())
+    np.testing.assert_allclose(back, img, atol=2e-3)
+    y = rgb2ycbcr(img.copy(), only_y=True)
+    assert y.shape == (16, 16)
+    assert modcrop(np.zeros((17, 19, 3)), 4).shape == (16, 16, 3)
+    assert tensor2img(np.zeros((1, 4, 4, 3))).dtype == np.uint8
+
+
+def test_reference_json_parsing(tmp_path):
+    opt_path = tmp_path / 'opt.json'
+    opt_path.write_text('''{
+  "name": "test_model" // comment here
+  , "model":"srragan"
+  , "scale": 4
+  , "range": [0,1]
+  , "datasets": { "train": {
+      "mode": "LRHR", "dataroot_HR": "hr", "dataroot_LR": null,
+      "batch_size_per_GPU": 8, "batch_size_4_grads_G": 16,
+      "batch_size_4_grads_D": 16, "patch_size": 208,
+      "use_flip": true, "use_rot": true, "n_workers": 2 } }
+  , "path": { "root": "ROOT", "datasets": "DATA" }
+  , "network_G": { "which_model_G": "RRDB_net", "CEM_arch": 1,
+      "sigmoid_range_limit": 0, "latent_input": "all_layers",
+      "latent_input_domain": "HR_downscaled",
+      "latent_channels": "SVDinNormedOut_structure_tensor",
+      "nf": 64, "nb": 23, "in_nc": 3, "out_nc": 3, "gc": 32 }
+  , "network_D": { "which_model_D": "discriminator_vgg_128",
+      "relativistic": 0, "norm_type": "batch", "n_layers": 10,
+      "nf": 64, "in_nc": 3 }
+  , "train": { "resume": 0, "lr_G": 1e-5, "lr_D": 1e-5,
+      "lr_steps": [50000, 100000], "lr_gamma": 0.5,
+      "gan_type": "wgan-gp", "gan_weight": 1, "latent_weight": 1,
+      "optimalZ_loss_type": "l1", "optimalZ_loss_weight": 100,
+      "range_weight": 5000, "gp_weight": 10, "D_update_ratio": 10,
+      "D_valid_Steps_4_G_update": 10, "min_D_prob_ratio_4_G": 1.05,
+      "min_mean_D_correct": 0.9, "D_verification": "past",
+      "steps_4_loss_std": 500, "std_4_lr_drop": 1e6, "niter": 510000 }
+}''')
+    opt = C.parse(str(opt_path), is_train=True)
+    # comment stripping + NoneDict semantics
+    assert opt['name'] == 'test_model'
+    assert opt['nonexistent_key'] is None
+    assert opt['train']['nonexistent'] is None
+    # grad accumulation derivation: 16/8 = 2
+    assert opt['train']['grad_accumulation_steps_G'] == 2
+    assert opt['datasets']['train']['dataroot_HR'].endswith('DATA/hr')
+    exp = C.experiment_from_reference_json(opt)
+    assert exp.train.gan_type == 'wgan-gp'
+    assert exp.train.optimal_z_weight == 100
+    assert exp.train.range_weight == 5000
+    assert exp.network_g.nb == 23
+    assert exp.train.num_latent_channels == 3
+
+
+def test_variant_collapsing():
+    d = {'a': {'PhaseInit': 1, 'PhaseGAN': 2},
+         'b': {'c': {'PhaseGAN': 'None', 'PhaseInit': 5}}}
+    out = C.collapse_variant(d, 'PhaseGAN')
+    assert out['a'] == 2 and out['b']['c'] is None
+    d2 = {'a': {'PhaseInit': 1, 'PhaseGAN': 2}}
+    assert C.collapse_variant(d2, 'PhaseInit')['a'] == 1

@@ -1,0 +1,71 @@
+"""Headless edit-session API tests (tiny generator, CPU)."""
+import numpy as np
+import pytest
+
+from exsr.apps.session import EditSession
+
+
+@pytest.fixture(scope='module')
+def session():
+    s = EditSession(scale=4, nb=1, time_budget_s=5.0)
+    s.init_random_params(0)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(96, 96, 3)).astype(np.float32)
+    s.open_image(img, is_hr=True)
+    return s
+
+
+def test_open_image_consistency(session):
+    assert session.lr_image.shape == (1, 24, 24, 3)
+    assert session.sr.shape == (1, 96, 96, 3)
+    # the displayed SR is LR-consistent
+    from exsr.ops.resize import imresize
+    down = imresize(session.sr[0].astype(np.float64), 0.25)
+    m = session.cem.invalidity_margins_lr
+    err = np.abs(down - session.lr_image[0])[m:-m, m:-m]
+    assert err.max() < 5e-3  # clip(0,1) distorts beyond float eps
+
+
+def test_uniform_z_and_undo(session):
+    sr0 = session.sr.copy()
+    session.set_uniform_z([0.8, -0.5, 0.3])
+    assert np.abs(session.sr - sr0).max() > 1e-7
+    session.undo()
+    np.testing.assert_allclose(session.sr, sr0, atol=1e-6)
+    session.redo()
+    assert np.abs(session.sr - sr0).max() > 1e-7
+    session.undo()
+
+
+def test_svd_sliders(session):
+    sr0 = session.sr.copy()
+    session.set_z_from_svd(1.0, 0.2, np.pi / 4)
+    assert np.abs(session.sr - sr0).max() > 1e-7
+    session.undo()
+
+
+def test_optimize_l1_region(session):
+    mask = np.zeros((96, 96), np.float32)
+    mask[24:72, 24:72] = 1.0
+    session.set_region(mask)
+    desired = session.sr.copy()
+    desired[:, 24:72, 24:72] = 0.7
+    res = session.optimize('l1', data={'desired': desired},
+                           max_iters=10, time_budget_s=20.0)
+    assert res['rounds'] >= 1
+    assert np.isfinite(res['final_loss'])
+    # frozen outside-region Z unchanged
+    z = session.cur_z
+    assert np.abs(z[0, :20, :20]).max() < 1e-6
+    session.clear_region()
+    session.undo()
+
+
+def test_save_load_z(session, tmp_path):
+    session.set_uniform_z([0.5, 0.5, 0.5])
+    p = str(tmp_path / 'z.npz')
+    session.save_z(p)
+    z_saved = session.cur_z.copy()
+    session.set_uniform_z([0.0, 0.0, 0.0])
+    session.load_z(p)
+    np.testing.assert_array_equal(session.cur_z, z_saved)

@@ -1,0 +1,133 @@
+"""Training-layer tests on a tiny model over the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exsr.cem.cem import CEM, CEMConf, cem_wrap
+from exsr.models.rrdb import RRDBNet
+from exsr.models.discriminators import DiscriminatorVGG128
+from exsr.parallel.mesh import make_mesh, ShardingRules
+from exsr.train.srragan import (SRRaGANTrainer, TrainConfig, flax_d_adapter,
+                                multistep_lr)
+from exsr.train.controller import GANController, GDUpdateController
+
+
+@pytest.fixture(scope='module')
+def tiny_setup():
+    cem = CEM.create(CEMConf(scale_factor=4))
+    filt = cem.device_filters(3)
+    g = RRDBNet(nb=1, nf=16, gc=8, latent_channels=3)
+    patch = 4 * (2 * cem.invalidity_margins_lr + 8)  # HR patch size
+    lr_size = patch // 4
+    d_input = patch - 2 * cem.invalidity_margins_hr
+    d = DiscriminatorVGG128(base_nf=8, nb=4, num_2_strides=1,
+                            input_patch_size=d_input)
+    g_params = g.init(jax.random.PRNGKey(0), jnp.zeros((1, lr_size, lr_size,
+                                                        3)),
+                      jnp.zeros((1, patch, patch, 3)))
+    d_vars = d.init(jax.random.PRNGKey(1), jnp.zeros((1, d_input, d_input,
+                                                      3)))
+    wrapped = cem_wrap(lambda p, x, z: g.apply(p, x, z), filt, upscale=4)
+    g_apply = lambda p, x, z: wrapped(p, x, z, 0, pre_pad=False)
+    cfg = TrainConfig(optimal_z_iters=2, steps_4_loss_std=5)
+    trainer = SRRaGANTrainer(cfg, g_apply, flax_d_adapter(d),
+                             margins_hr=cem.invalidity_margins_hr)
+    return cem, trainer, g_params, dict(d_vars), lr_size, patch
+
+
+def _batch(lr_size, patch, b=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return {'lr': jnp.asarray(rng.uniform(size=(b, lr_size, lr_size, 3))
+                              .astype(np.float32)),
+            'hr': jnp.asarray(rng.uniform(size=(b, patch, patch, 3))
+                              .astype(np.float32))}
+
+
+def test_d_and_g_steps_update_params(tiny_setup):
+    cem, trainer, g_params, d_vars, lr_size, patch = tiny_setup
+    state = trainer.init_state(g_params, d_vars, jax.random.PRNGKey(2))
+    batch = _batch(lr_size, patch)
+    state1, d_metrics = trainer.d_step(state, batch, dual=False)
+    assert np.isfinite(float(d_metrics['l_d_total']))
+    # D params changed
+    delta = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         state.d_vars['params'], state1.d_vars['params'])
+    assert max(jax.tree.leaves(delta)) > 0
+    state2, g_metrics = trainer.g_step(state1, batch, dual=False,
+                                       use_gan=True)
+    for k in ('l_g_range', 'l_g_latent', 'l_g_gan', 'l_g_total'):
+        assert np.isfinite(float(g_metrics[k])), k
+    delta_g = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                           state1.g_params, state2.g_params)
+    assert max(jax.tree.leaves(delta_g)) > 0
+    # ratio stats advanced by one batch of measurements
+    assert int(state2.ratio_stats.count) == batch['hr'].shape[0]
+
+
+def test_dual_step_map_loss(tiny_setup):
+    cem, trainer, g_params, d_vars, lr_size, patch = tiny_setup
+    state = trainer.init_state(g_params, d_vars, jax.random.PRNGKey(3))
+    batch = _batch(lr_size, patch, seed=1)
+    state1, m = trainer.g_step(state, batch, dual=True, use_gan=False)
+    assert 'l_g_optimalZ' in m and np.isfinite(float(m['l_g_optimalZ']))
+
+
+def test_multistep_lr():
+    lr = multistep_lr(1e-5, (10, 20), 0.5, jnp.asarray(0))
+    assert float(lr) == pytest.approx(1e-5)
+    lr = multistep_lr(1e-5, (10, 20), 0.5, jnp.asarray(15))
+    assert float(lr) == pytest.approx(0.5e-5)
+    lr = multistep_lr(1e-5, (10, 20), 0.5, jnp.asarray(25))
+    assert float(lr) == pytest.approx(0.25e-5)
+
+
+def test_controller_gating():
+    c = GANController(d_update_ratio=2, d_valid_steps_4_g=3,
+                      d_init_iters=0)
+    # no history yet: G blocked by 'past' verification, D runs
+    assert c.want_d_step()
+    assert not c.want_g_step()
+    for _ in range(3):
+        c.record_d({'D_logits_diff': 1.0, 'Correctly_distinguished': 1.0,
+                    'l_d_real_0': 0.1, 'l_d_fake_0': 0.1})
+        c.tick()
+    # history is all-confident: G allowed on even steps (ratio 2)
+    c.step = 4
+    assert c.want_g_step()
+    c.step = 5
+    assert not c.want_g_step()
+    # bad D record blocks G again
+    c.record_d({'D_logits_diff': -1.0, 'Correctly_distinguished': 0.0,
+                'l_d_real_0': 0.1, 'l_d_fake_0': 0.1})
+    c.step = 6
+    assert not c.want_g_step()
+
+
+def test_controller_lr_drop():
+    c = GANController(steps_4_loss_std=4, std_4_lr_drop=0.01)
+    for i in range(8):
+        c.record_d({'D_logits_diff': 1.0, 'Correctly_distinguished': 1.0,
+                    'l_d_real_0': (i % 2) * 10.0, 'l_d_fake_0': 0.0})
+    rollback, too_low = c.check_lr_drop()
+    assert rollback and not too_low
+    assert c.lr_scale == pytest.approx(0.5)
+
+
+def test_gd_update_controller_linear_map():
+    g = GDUpdateController([[1, 10], [0.0, 1.0]])
+    g.update_ratio(1.0)
+    assert g.dg_steps_ratio == pytest.approx(10)
+    g.update_ratio(0.0)
+    assert g.dg_steps_ratio == pytest.approx(1)
+
+
+def test_sharded_d_step_runs_on_mesh(tiny_setup):
+    cem, trainer, g_params, d_vars, lr_size, patch = tiny_setup
+    mesh = make_mesh(data=8, spatial=1)
+    rules = ShardingRules(mesh)
+    state = trainer.init_state(g_params, d_vars, jax.random.PRNGKey(4))
+    state = rules.replicate(state)
+    batch = rules.shard_batch(_batch(lr_size, patch, b=8))
+    state1, metrics = trainer.d_step(state, batch, dual=False)
+    assert np.isfinite(float(metrics['l_d_total']))

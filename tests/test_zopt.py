@@ -1,0 +1,161 @@
+"""Z-optimization engine tests: convergence, frozen-mask invariance,
+min-loss retention, patch extraction, histogram properties."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exsr.zopt.optimizer import ZOptimizer, atanh_init
+from exsr.zopt import objectives as obj
+from exsr.zopt.patches import patch_indices_from_mask, masked_patch_std
+from exsr.zopt.histogram import SoftHistogramLoss
+
+
+def linear_forward(w):
+    """Toy 'generator': out = sigmoid-ish affine map of z (keeps out in
+    [0,1] so objectives behave like on images)."""
+    def fwd(z):
+        return jax.nn.sigmoid(w * z)
+    return fwd
+
+
+def test_l1_objective_convergence():
+    desired = 0.8 * jnp.ones((1, 8, 8, 3))
+    fwd = linear_forward(3.0)
+    loss = obj.l1_to_desired(desired, None)
+    zo = ZOptimizer(fwd, loss, lr=0.1)
+    theta0 = jnp.zeros((1, 8, 8, 3))
+    z, theta, state, losses = zo.optimize(theta0, max_iters=100)
+    assert losses[-1] < 0.3 * losses[0]
+    out = fwd(z)
+    assert abs(float(out.mean()) - 0.8) < 0.1
+
+
+def test_frozen_mask_keeps_region():
+    desired = jnp.ones((1, 8, 8, 3))
+    fwd = linear_forward(2.0)
+    loss = obj.l1_to_desired(desired, None)
+    zo = ZOptimizer(fwd, loss, lr=0.2)
+    theta0 = jnp.zeros((1, 8, 8, 3))
+    z_mask = jnp.zeros((1, 8, 8, 3)).at[:, :4].set(1.0)
+    z, theta, _, _ = zo.optimize(theta0, max_iters=20, z_mask=z_mask,
+                                 frozen_theta=theta0)
+    # frozen half must stay at tanh(0) == 0
+    np.testing.assert_allclose(np.asarray(z[:, 4:]), 0.0, atol=1e-7)
+    assert float(jnp.abs(z[:, :4]).mean()) > 0.1
+
+
+def test_min_loss_z_retention():
+    # quadratic with minimum away from the end of a deliberately unstable
+    # trajectory: best-Z must beat last-Z
+    fwd = lambda z: z
+
+    def loss_fn(out, z):
+        return ((out - 0.5) ** 2).sum()
+
+    zo = ZOptimizer(fwd, loss_fn, lr=0.9)  # big LR: oscillates
+    theta0 = jnp.zeros((1, 2, 2, 1))
+    z, theta, _, losses = zo.optimize(theta0, max_iters=30)
+    final_loss = float(loss_fn(fwd(z), z))
+    assert final_loss <= min(losses) + 1e-6
+
+
+def test_plateau_mode_stops_early():
+    desired = 0.5 * jnp.ones((1, 4, 4, 3))
+    fwd = linear_forward(1.0)
+    loss = obj.l1_to_desired(desired, None)
+    zo = ZOptimizer(fwd, loss, lr=0.5)
+    z, theta, _, losses = zo.optimize(jnp.zeros((1, 4, 4, 3)),
+                                      max_iters=-10)
+    assert 10 <= len(losses) <= 50
+
+
+def test_patch_indices_cover_mask():
+    mask = np.zeros((32, 32), bool)
+    mask[4:24, 6:29] = True
+    idx = patch_indices_from_mask(mask, 7, patches_overlap=1.0)
+    assert idx.shape[1] == 49
+    rows, cols = np.unravel_index(idx.reshape(-1), mask.shape)
+    assert mask[rows, cols].all()
+    # overlap control reduces patch count
+    idx_sparse, non_cov = patch_indices_from_mask(
+        mask, 7, patches_overlap=0.5, return_non_covered=True)
+    assert 0 < len(idx_sparse) < len(idx)
+
+
+def test_masked_patch_std():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(size=(32, 32)).astype(np.float32))
+    mask = np.zeros((32, 32), bool)
+    mask[:16, :16] = True
+    idx = patch_indices_from_mask(mask, 7)
+    stds = masked_patch_std(img, jnp.asarray(idx))
+    assert stds.shape[0] == len(idx)
+    # uniform noise STD ~ sqrt(1/12) ~ 0.29
+    assert 0.15 < float(stds.mean()) < 0.4
+
+
+def test_std_objective_increases_std():
+    rng = np.random.default_rng(1)
+    base = jnp.asarray(rng.uniform(0.4, 0.6, size=(1, 16, 16, 3))
+                       .astype(np.float32))
+
+    def fwd(z):
+        return base + 0.3 * jnp.tanh(z)
+
+    helpers = obj.STDHelpers.create(np.ones((16, 16), np.float32),
+                                    local=False)
+    loss = obj.std_objective(helpers, 'max_STD')
+    zo = ZOptimizer(fwd, loss, lr=0.1)
+    z, *_ = zo.optimize(jnp.zeros((1, 16, 16, 3)), max_iters=40)
+    std0 = float(helpers(base)[0, 0])
+    std1 = float(helpers(fwd(z))[0, 0])
+    assert std1 > std0 * 1.5
+
+
+def test_diversity_objective_separates_batch():
+    base = 0.5 * jnp.ones((3, 8, 8, 3))
+
+    def fwd(z):
+        return base + 0.2 * jnp.tanh(z)
+
+    loss = obj.diversity_objective('random_l1', None)
+    zo = ZOptimizer(fwd, loss, lr=0.2)
+    key = jax.random.PRNGKey(0)
+    theta0 = 0.01 * jax.random.normal(key, (3, 8, 8, 3))
+    z, *_ = zo.optimize(theta0, max_iters=30)
+    outs = fwd(z)
+    pair01 = float(jnp.abs(outs[0] - outs[1]).mean())
+    assert pair01 > 0.05
+
+
+def test_histogram_loss_zero_for_matching_image():
+    rng = np.random.default_rng(2)
+    im = rng.uniform(size=(24, 24, 3)).astype(np.float32)
+    mask = np.ones((24, 24), np.float32)
+    shl = SoftHistogramLoss.create([im], [mask], mask, temperature=5e-4)
+    same = jnp.asarray(im)[None]
+    other = jnp.asarray(rng.uniform(size=(24, 24, 3))
+                        .astype(np.float32))[None] * 0.3
+    l_same = float(shl(same))
+    l_other = float(shl(other))
+    assert l_same < l_other
+
+
+def test_histogram_patch_dictionary():
+    rng = np.random.default_rng(3)
+    im = rng.uniform(size=(24, 24, 3)).astype(np.float32)
+    mask = np.ones((24, 24), np.float32)
+    shl = SoftHistogramLoss.create([im], [mask], mask, patch_size=6,
+                                   temperature=1e-3,
+                                   dictionary_not_histogram=True)
+    l_same = float(shl(jnp.asarray(im)[None]))
+    l_shift = float(shl(jnp.asarray(np.clip(im + 0.4, 0, 1))[None]))
+    assert l_same < l_shift
+
+
+def test_atanh_init_round_trip():
+    z = jnp.asarray([[0.3, -0.7, 0.0]])
+    theta = atanh_init(z, 1.0)
+    np.testing.assert_allclose(np.asarray(jnp.tanh(theta)),
+                               np.asarray(z), atol=1e-6)
