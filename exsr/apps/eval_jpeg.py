@@ -1,0 +1,99 @@
+"""Explorable-JPEG evaluation CLI — the reference's codes/test_JPEG.py.
+
+Per image and quality factor: decode quantized DCT coefficients through the
+generator (Z=0), report PSNR vs the uncompressed source, PSNR of plain JPEG
+decoding (the baseline the generator must beat), and quantization-bin
+consistency of the output coefficients.
+
+Usage:
+  python -m exsr.apps.eval_jpeg --data_dir DIR --qf 10 30 50 \
+      [--checkpoint CKPT] [--out_dir results]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--data_dir', required=True)
+    p.add_argument('--qf', type=int, nargs='+', default=[10])
+    p.add_argument('--nf', type=int, default=320)
+    p.add_argument('--nb', type=int, default=10)
+    p.add_argument('--latent_channels', type=int, default=64)
+    p.add_argument('--checkpoint')
+    p.add_argument('--out_dir', default='results_jpeg')
+    p.add_argument('--max_images', type=int, default=None)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from exsr.models.dncnn import DnCNN, DnCNNConfig
+    from exsr.jpeg.codec import JPEGCodec
+    from exsr.data.datasets import list_images, read_img
+    from exsr.utils.color import rgb2ycbcr
+    from exsr.utils.metrics import calculate_psnr
+
+    codec = JPEGCodec()
+    gcfg = DnCNNConfig(n_channels=args.nf, depth=args.nb,
+                       num_latent_channels=args.latent_channels)
+    g = DnCNN(gcfg)
+    g_vars = None
+
+    @jax.jit
+    def decode(g_vars, comp, z, qf):
+        if 'batch_stats' in g_vars:
+            coeffs, _ = g.apply(g_vars, comp, z, train=False,
+                                mutable=['batch_stats'])
+        else:
+            coeffs = g.apply(g_vars, comp, z, train=False)
+        return codec.extract(coeffs, qf), coeffs
+
+    paths = list_images(args.data_dir)
+    if args.max_images:
+        paths = paths[:args.max_images]
+    os.makedirs(args.out_dir, exist_ok=True)
+    results = []
+    for path in paths:
+        img = read_img(path)
+        y = rgb2ycbcr(img.astype(np.float32), only_y=True) * 255.0
+        h, w = (y.shape[0] // 8) * 8, (y.shape[1] // 8) * 8
+        y = y[:h, :w][None, ..., None].astype(np.float32)
+        for qf in args.qf:
+            qf_arr = jnp.asarray([float(qf)])
+            comp = codec.compress(jnp.asarray(y), qf_arr, quantize=True)
+            plain = np.asarray(codec.extract(comp, qf_arr))
+            rec = {'name': os.path.basename(path), 'qf': qf,
+                   'psnr_jpeg': calculate_psnr(plain[0, ..., 0],
+                                               y[0, ..., 0])}
+            if g_vars is None and args.checkpoint is None:
+                # no trained model: initialize lazily with random weights
+                z0 = jnp.zeros(comp.shape[:3] + (args.latent_channels,))
+                g_vars = dict(g.init(jax.random.PRNGKey(0), comp, z0))
+            if g_vars is not None:
+                z = jnp.zeros(comp.shape[:3] + (args.latent_channels,))
+                out, coeffs = decode(g_vars, comp, z, qf_arr)
+                out = np.asarray(out)
+                rec['psnr_decomp'] = calculate_psnr(out[0, ..., 0],
+                                                    y[0, ..., 0])
+                rec['bin_consistency_max'] = float(
+                    jnp.abs(coeffs - comp).max())
+            results.append(rec)
+            print(json.dumps(rec))
+    summary = {}
+    for key in ('psnr_jpeg', 'psnr_decomp'):
+        vals = [r[key] for r in results if key in r]
+        if vals:
+            summary[f'avg_{key}'] = float(np.mean(vals))
+    with open(os.path.join(args.out_dir, 'summary.json'), 'w') as f:
+        json.dump({'summary': summary, 'per_image': results}, f, indent=2)
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,118 @@
+"""Explorable-JPEG training CLI — the reference's codes/train_JPEG.py.
+
+Usage:
+  python -m exsr.apps.train_jpeg --data_dir DIR [--chroma] [--niter N] ...
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--data_dir', required=True,
+                   help='uncompressed training image dir')
+    p.add_argument('--val_dir')
+    p.add_argument('--patch', type=int, default=256)
+    p.add_argument('--batch', type=int, default=16)
+    p.add_argument('--nf', type=int, default=320)
+    p.add_argument('--nb', type=int, default=10)
+    p.add_argument('--latent_channels', default='64')
+    p.add_argument('--qf_min', type=int, default=5)
+    p.add_argument('--qf_max', type=int, default=50)
+    p.add_argument('--niter', type=int, default=2_000_000)
+    p.add_argument('--exp_dir', default='experiments/explorable_jpeg')
+    p.add_argument('--print_freq', type=int, default=100)
+    p.add_argument('--ckpt_freq', type=int, default=1000)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--resume', action='store_true')
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from exsr.models.dncnn import DnCNN, DnCNNConfig, DnCNNDiscriminator
+    from exsr.train.decomp import DecompTrainer, DecompConfig
+    from exsr.train.srragan import flax_d_adapter
+    from exsr.train.controller import GANController
+    from exsr.train.checkpoints import CheckpointManager
+    from exsr.data.datasets import JPEGDataset, DataLoader
+
+    latent_channels = (int(args.latent_channels)
+                       if args.latent_channels.isdigit()
+                       else args.latent_channels)
+    cfg = DecompConfig(patch_size=args.patch,
+                       latent_channels=latent_channels, niter=args.niter)
+    hb = args.patch // 8
+    gcfg = DnCNNConfig(n_channels=args.nf, depth=args.nb,
+                       num_latent_channels=cfg.num_latent_channels)
+    g = DnCNN(gcfg)
+    d = DnCNNDiscriminator(n_channels=args.nf, depth=args.nb,
+                           expected_input_size=hb, norm='layer')
+    coeffs0 = jnp.zeros((1, hb, hb, 64))
+    z0 = jnp.zeros((1, hb, hb, cfg.num_latent_channels))
+    g_vars = dict(g.init(jax.random.PRNGKey(args.seed), coeffs0, z0))
+    d_vars = dict(d.init(jax.random.PRNGKey(args.seed + 1), coeffs0))
+
+    def g_apply(params, coeffs, z):
+        if 'batch_stats' in params:
+            out, _ = g.apply(params, coeffs, z, train=True,
+                             mutable=['batch_stats'])
+            return out
+        return g.apply(params, coeffs, z)
+
+    trainer = DecompTrainer(cfg, g_apply, flax_d_adapter(d))
+    state = trainer.init_state(g_vars, d_vars,
+                               jax.random.PRNGKey(args.seed + 2))
+    ctl = GANController(d_update_ratio=10, d_valid_steps_4_g=10,
+                        d_verification='past')
+    os.makedirs(args.exp_dir, exist_ok=True)
+    ckpts = CheckpointManager(os.path.abspath(
+        os.path.join(args.exp_dir, 'ckpt')), max_to_keep=3,
+        save_interval_steps=args.ckpt_freq)
+    if args.resume and ckpts.latest_step() is not None:
+        state = ckpts.restore(state)
+        print('resumed at step', int(state.step))
+
+    ds = JPEGDataset(root=args.data_dir, patch_size=args.patch,
+                     qf_spec=(((args.qf_min, args.qf_max), 1.0),),
+                     train=True)
+    loader = DataLoader(ds, batch_size=args.batch, seed=args.seed)
+    t0 = time.time()
+    epoch = 0
+    while ctl.step < cfg.niter:
+        for batch in loader.epoch(epoch):
+            if ctl.step >= cfg.niter:
+                break
+            b = {'uncomp': jnp.asarray(batch['uncomp']),
+                 'qf': jnp.asarray(batch['qf'])}
+            dual = (cfg.optimal_z_weight is not None
+                    and ctl.generator_started_learning)
+            if ctl.want_d_step():
+                state, dm = trainer.d_step(state, b, dual=dual)
+                ctl.record_d({k: float(v) for k, v in dm.items()
+                              if np.ndim(v) == 0})
+            if ctl.want_g_step():
+                state, gm = trainer.g_step(state, b, dual=dual,
+                                           use_gan=True)
+                ctl.record_g()
+            state = trainer.advance(state)
+            ctl.tick()
+            if ctl.step % args.print_freq == 0:
+                rate = args.print_freq / max(time.time() - t0, 1e-9)
+                t0 = time.time()
+                print(json.dumps({'step': ctl.step,
+                                  'steps_per_s': round(rate, 3)}))
+            ckpts.save(ctl.step, state)
+        epoch += 1
+    ckpts.save(ctl.step, state, force=True)
+    ckpts.wait()
+    print('JPEG training done at step', ctl.step)
+
+
+if __name__ == '__main__':
+    main()
