@@ -1,0 +1,197 @@
+"""Headless explorable-JPEG edit session — the GUI's JPEG task backend.
+
+The JPEG twin of :class:`exsr.apps.session.EditSession` (GUI.py with task
+'JPEG': quality-factor control, real-JPEG coefficient input, Z edits over
+the 64-channel DCT latent via the 3-channel GUI controls, consistency by
+quantization-bin clamping).  Reference: GUI.py:1320-1323,2328-2352,
+2425-2481; DecompCNN_model.py:293-334.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exsr.jpeg.codec import JPEGCodec, consistency_clamp
+from exsr.models.dncnn import DnCNN, DnCNNConfig
+from exsr.train.decomp import repeat_z_3_channels, z_to_3_channels
+from exsr.utils.color import rgb2ycbcr
+from exsr.zopt.optimizer import ZOptimizer, atanh_init
+from exsr.zopt import objectives as obj
+
+
+@dataclasses.dataclass
+class JPEGEditSession:
+    nf: int = 320
+    nb: int = 10
+    latent_channels: int = 64
+    qf: int = 10
+    time_budget_s: float = 30.0
+
+    def __post_init__(self):
+        self.codec = JPEGCodec()
+        self.generator = DnCNN(DnCNNConfig(
+            n_channels=self.nf, depth=self.nb,
+            num_latent_channels=self.latent_channels))
+        self.params = None
+        self.y_image = None     # [1, H, W, 1] in [0, 255]
+        self.comp = None        # quantized coefficients
+        self.cur_z = None       # [1, hb, wb, 64]
+        self.region_mask = None  # [H, W]
+        self.out = None
+        self._history: deque = deque(maxlen=100)
+        self._redo: deque = deque(maxlen=100)
+
+    def init_random_params(self, seed: int = 0):
+        c0 = jnp.zeros((1, 8, 8, 64))
+        z0 = jnp.zeros((1, 8, 8, self.latent_channels))
+        self.params = dict(self.generator.init(jax.random.PRNGKey(seed),
+                                               c0, z0))
+
+    def load_params(self, params):
+        self.params = dict(params)
+
+    def _g_apply(self, params, coeffs, z):
+        if 'batch_stats' in params:
+            out, _ = self.generator.apply(params, coeffs, z, train=False,
+                                          mutable=['batch_stats'])
+            return out
+        return self.generator.apply(params, coeffs, z, train=False)
+
+    # -------------------------------------------------------------- loading
+    def open_image(self, rgb_image: np.ndarray, qf: int | None = None):
+        """Compress an RGB image at the session QF and decode it
+        (GUI.py:2328-2352)."""
+        if qf is not None:
+            self.qf = qf
+        y = rgb2ycbcr(rgb_image.astype(np.float32), only_y=True) * 255.0
+        h, w = (y.shape[0] // 8) * 8, (y.shape[1] // 8) * 8
+        self.y_image = jnp.asarray(y[:h, :w][None, ..., None])
+        self.comp = self.codec.compress(self.y_image, self._qf_arr(),
+                                        quantize=True)
+        hb, wb = self.comp.shape[1:3]
+        self.cur_z = np.zeros((1, hb, wb, self.latent_channels), np.float32)
+        self.region_mask = np.ones((h, w), np.float32)
+        self._history.clear()
+        self._redo.clear()
+        return self.recompute()
+
+    def open_coefficients(self, coeffs: np.ndarray, q_table: np.ndarray):
+        """Open a real JPEG's quantized DCT coefficients + its Q table
+        (GUI.py:2425-2481; QF recovered per Set_Q_Table(QF=False),
+        JPEG.py:83-86)."""
+        from exsr.jpeg.codec import LUMA_Q_TABLE
+        ratio = float(np.mean(LUMA_Q_TABLE / q_table))
+        if ratio < 1:
+            self.qf = 50 * ratio
+        else:
+            self.qf = 50 * float(np.mean(
+                (2 * LUMA_Q_TABLE - q_table) / LUMA_Q_TABLE))
+        self.comp = jnp.asarray(coeffs[None] if coeffs.ndim == 3
+                                else coeffs)
+        hb, wb = self.comp.shape[1:3]
+        self.cur_z = np.zeros((1, hb, wb, self.latent_channels), np.float32)
+        self.region_mask = np.ones((hb * 8, wb * 8), np.float32)
+        self.y_image = None
+        return self.recompute()
+
+    def _qf_arr(self):
+        return jnp.asarray([float(self.qf)])
+
+    def recompute(self):
+        coeffs = self._g_apply(self.params, self.comp,
+                               jnp.asarray(self.cur_z))
+        coeffs = consistency_clamp(coeffs, self.comp)  # belt & suspenders
+        self.out = np.asarray(jnp.clip(
+            self.codec.extract(coeffs, self._qf_arr()) / 255.0, 0, 1))
+        return self.out
+
+    # ---------------------------------------------------------------- state
+    def _push(self):
+        self._history.append(self.cur_z.copy())
+        self._redo.clear()
+
+    def undo(self):
+        if self._history:
+            self._redo.append(self.cur_z.copy())
+            self.cur_z = self._history.pop()
+            self.recompute()
+        return self.out
+
+    def redo(self):
+        if self._redo:
+            self._history.append(self.cur_z.copy())
+            self.cur_z = self._redo.pop()
+            self.recompute()
+        return self.out
+
+    def set_region(self, mask: np.ndarray):
+        """HR-pixel mask; JPEG edits smear masks to whole 8x8 blocks
+        (utils/util.py SmearMask2JpegBlocks)."""
+        h, w = mask.shape
+        m = mask.reshape(h // 8, 8, w // 8, 8).max(axis=(1, 3))
+        self.region_mask = np.repeat(np.repeat(m, 8, 0), 8, 1) \
+            .astype(np.float32)
+        self._block_mask = m.astype(np.float32)
+
+    def set_uniform_z3(self, values3):
+        """3-channel GUI control -> tiled 64-channel Z
+        (DecompCNN_model.py:293-314)."""
+        self._push()
+        z3 = np.asarray(values3, np.float32).reshape(1, 1, 1, 3)
+        z64 = np.asarray(repeat_z_3_channels(jnp.asarray(z3),
+                                             self.latent_channels))
+        bm = getattr(self, '_block_mask',
+                     np.ones(self.cur_z.shape[1:3], np.float32))
+        m = bm[None, :, :, None]
+        self.cur_z = (1 - m) * self.cur_z + m * z64
+        return self.recompute()
+
+    def optimize(self, objective: str, data: dict | None = None,
+                 max_iters: int = 25, lr: float = 0.1):
+        """Gradient Z edit in the DCT-latent space."""
+        assert self.params is not None
+        data = data or {}
+        self._push()
+        qf = self._qf_arr()
+        comp = self.comp
+
+        def forward(z):
+            coeffs = self._g_apply(self.params, comp, z)
+            return jnp.clip(self.codec.extract(coeffs, qf) / 255.0, 0, 1)
+
+        initial_out = np.asarray(forward(jnp.asarray(self.cur_z)))
+        mask = self.region_mask
+        helpers = obj.STDHelpers.create(mask, local='local' in objective)
+        initial_std = helpers(jnp.asarray(initial_out))
+        name = objective.replace('local_', '')
+        if 'l1' in name:
+            loss = obj.l1_to_desired(jnp.asarray(data['desired']),
+                                     jnp.asarray(mask))
+        elif name in ('max_STD', 'min_STD', 'STD_increase', 'STD_decrease'):
+            desired_std = None
+            if 'crease' in name:
+                inc = data.get('STD_increment', 0.03)
+                desired_std = initial_std + (inc if 'increase' in name
+                                             else -inc)
+            loss = obj.std_objective(helpers, name, desired_std)
+        elif 'TV' in name:
+            loss = obj.tv_objective(helpers, initial_std)
+        else:
+            raise NotImplementedError(objective)
+
+        zo = ZOptimizer(forward, loss, lr=lr)
+        theta0 = jnp.asarray(atanh_init(jnp.asarray(self.cur_z), 1.0))
+        bm = getattr(self, '_block_mask', None)
+        z_mask = (jnp.asarray(bm[None, :, :, None]) if bm is not None
+                  and bm.min() < 1 else None)
+        z, theta, _, losses = zo.optimize(theta0, max_iters,
+                                          z_mask=z_mask,
+                                          frozen_theta=theta0)
+        self.cur_z = np.asarray(z)
+        self.recompute()
+        return {'out': self.out, 'losses': losses}

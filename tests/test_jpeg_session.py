@@ -1,0 +1,50 @@
+"""JPEG edit-session tests (tiny DnCNN, CPU)."""
+import numpy as np
+import pytest
+
+from exsr.apps.jpeg_session import JPEGEditSession
+
+
+@pytest.fixture(scope='module')
+def jsession():
+    s = JPEGEditSession(nf=16, nb=3, latent_channels=64, qf=10)
+    s.init_random_params(0)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    s.open_image(img)
+    return s
+
+
+def test_open_and_consistency(jsession):
+    assert jsession.out.shape == (1, 64, 64, 1)
+    # output coefficients stay in the input's quantization bins
+    import jax.numpy as jnp
+    coeffs = jsession._g_apply(jsession.params, jsession.comp,
+                               jnp.asarray(jsession.cur_z))
+    assert float(jnp.abs(coeffs - jsession.comp).max()) <= 0.5 + 1e-5
+
+
+def test_uniform_z3_and_undo(jsession):
+    out0 = jsession.out.copy()
+    jsession.set_region(np.ones((64, 64), np.float32))
+    jsession.set_uniform_z3([0.9, -0.4, 0.2])
+    assert np.abs(jsession.out - out0).max() > 1e-7
+    jsession.undo()
+    np.testing.assert_allclose(jsession.out, out0, atol=1e-6)
+
+
+def test_optimize_std(jsession):
+    mask = np.zeros((64, 64), np.float32)
+    mask[16:48, 16:48] = 1.0
+    jsession.set_region(mask)
+    res = jsession.optimize('max_STD', max_iters=10)
+    assert np.isfinite(res['losses']).all()
+
+
+def test_open_real_coefficients(jsession):
+    from exsr.jpeg.codec import LUMA_Q_TABLE
+    rng = np.random.default_rng(1)
+    coeffs = np.round(rng.normal(0, 2, size=(8, 8, 64))).astype(np.float32)
+    out = jsession.open_coefficients(coeffs, LUMA_Q_TABLE.astype(float))
+    assert out.shape == (1, 64, 64, 1)
+    assert 49 < jsession.qf < 51  # the base table corresponds to QF 50
