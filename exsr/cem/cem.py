@@ -90,18 +90,43 @@ class CEM:
                    invalidity_margins_hr=sf * margins_lr)
 
     # ---------------------------------------------------------------- device
-    def device_filters(self, channels: int = 3, dtype=jnp.float32
-                       ) -> 'CEMFilters':
+    def device_filters(self, channels: int = 3, dtype=jnp.float32,
+                       separable: bool = True) -> 'CEMFilters':
+        """Build the device filter set.
+
+        With ``separable=True`` (default) each 2-D filter that factors as a
+        rank-1 outer product (all of them, for bicubic and for any separable
+        estimated kernel) runs as two 1-D depthwise convs — ~k/2x fewer VPU
+        ops with results equal up to fp summation order.  Non-separable
+        estimated kernels fall back to the 2-D path automatically.
+        """
         sf = int(self.conf.scale_factor)
         pre, _post = R.calc_strides((0, 0), sf)
+
+        def build(kernel2d):
+            w2d = F.depthwise_weights(kernel2d, channels, dtype)
+            if not separable:
+                return w2d, None, None
+            fac = F.separable_factors(kernel2d)
+            if fac is None:
+                return w2d, None, None
+            col, row = fac
+            return (w2d,
+                    F.depthwise_weights_1d(col, channels, 0, dtype),
+                    F.depthwise_weights_1d(row, channels, 1, dtype))
+
+        w_down, w_down_c, w_down_r = build(np.rot90(self.ds_kernel,
+                                                    2).copy())
+        w_up, w_up_c, w_up_r = build(self.ds_kernel * sf ** 2)
+        w_inv, w_inv_c, w_inv_r = build(self.inv_hth)
         return CEMFilters(
-            sf=sf,
-            pre=(int(pre[0]), int(pre[1])),
-            w_down=F.depthwise_weights(np.rot90(self.ds_kernel, 2).copy(),
-                                       channels, dtype),
-            w_up=F.depthwise_weights(self.ds_kernel * sf ** 2, channels,
-                                     dtype),
-            w_inv_hth=F.depthwise_weights(self.inv_hth, channels, dtype),
+            sf=sf, pre=(int(pre[0]), int(pre[1])),
+            w_down=w_down, w_up=w_up, w_inv_hth=w_inv,
+            w_down_1d=(w_down_c, w_down_r) if w_down_c is not None
+            else None,
+            w_up_1d=(w_up_c, w_up_r) if w_up_c is not None else None,
+            w_inv_hth_1d=(w_inv_c, w_inv_r) if w_inv_c is not None
+            else None,
             sigmoid_range_limit=self.conf.sigmoid_range_limit,
             input_range=self.conf.input_range,
         )
@@ -173,17 +198,28 @@ class CEMFilters:
     w_down: jnp.ndarray
     w_up: jnp.ndarray
     w_inv_hth: jnp.ndarray
+    w_down_1d: tuple[jnp.ndarray, jnp.ndarray] | None = None
+    w_up_1d: tuple[jnp.ndarray, jnp.ndarray] | None = None
+    w_inv_hth_1d: tuple[jnp.ndarray, jnp.ndarray] | None = None
     sigmoid_range_limit: bool = False
     input_range: tuple[float, float] = (0.0, 1.0)
 
+    def _same(self, x, w2d, w1d):
+        if w1d is not None:
+            return F.filter_replicate_same_separable(x, *w1d)
+        return F.filter_replicate_same(x, w2d)
+
     def downscale(self, x: jnp.ndarray) -> jnp.ndarray:
-        return F.downscale_op(x, self.w_down, self.sf, self.pre)
+        return F.aliased_subsample(self._same(x, self.w_down,
+                                              self.w_down_1d),
+                                   self.sf, self.pre)
 
     def upscale(self, x: jnp.ndarray) -> jnp.ndarray:
-        return F.upscale_op(x, self.w_up, self.sf, self.pre)
+        return self._same(F.zero_stuff(x, self.sf, self.pre), self.w_up,
+                          self.w_up_1d)
 
     def conv_inv_hth(self, x: jnp.ndarray) -> jnp.ndarray:
-        return F.filter_replicate_same(x, self.w_inv_hth.astype(x.dtype))
+        return self._same(x, self.w_inv_hth, self.w_inv_hth_1d)
 
     def ortho_component(self, lr: jnp.ndarray) -> jnp.ndarray:
         """U (inv_hTh * y): the LR-determined low-frequency component."""

@@ -109,6 +109,78 @@ class DiscriminatorVGG128(nn.Module):
         return x
 
 
+class DiscriminatorVGG(nn.Module):
+    """Fixed-size VGG-style critics for 96/192-px inputs
+    (Discriminator_VGG_96 / _192, architecture.py:557-649): five (or six)
+    conv pairs with stride-2 k4 stages down to 3x3x512, FC(100) head."""
+    base_nf: int = 64
+    input_size: int = 96
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        assert self.input_size in (96, 192)
+        nf = self.base_nf
+        feats = [nf, nf, nf * 2, nf * 2, nf * 4, nf * 4, nf * 8, nf * 8,
+                 nf * 8, nf * 8]
+        if self.input_size == 192:
+            feats += [nf * 8, nf * 8]
+        for i, f in enumerate(feats):
+            k = 4 if i % 2 == 1 else 3
+            s = 2 if i % 2 == 1 else 1
+            x = ConvBlock(f, k, s, norm=(i != 0), name=f'conv{i}')(x, train)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.leaky_relu(nn.Dense(100)(x), 0.2)
+        return nn.Dense(1)(x)
+
+
+class DiscriminatorVGG128SN(nn.Module):
+    """Spectral-norm VGG-128 critic (architecture.py:512-554)."""
+    nf: int = 64
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        from exsr.models.dncnn import SpectralNormConv
+        nf = self.nf
+        plan = [(nf, 3, 1), (nf, 4, 2), (2 * nf, 3, 1), (2 * nf, 4, 2),
+                (4 * nf, 3, 1), (4 * nf, 4, 2), (8 * nf, 3, 1),
+                (8 * nf, 4, 2), (8 * nf, 3, 1), (8 * nf, 4, 2)]
+        for i, (f, k, s) in enumerate(plan):
+            # SpectralNormConv has no stride arg; stride-2 k4-p1 equals
+            # stride-1 conv followed by even-position subsampling
+            pad = (k - 1) // 2
+            x = SpectralNormConv(f, k, padding=pad, name=f'conv{i}')(x)
+            if s == 2:
+                x = x[:, ::2, ::2, :]
+            x = nn.leaky_relu(x, 0.2)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.leaky_relu(nn.Dense(100)(x), 0.2)
+        return nn.Dense(1)(x)
+
+
+class ACDVGGBN96(nn.Module):
+    """Auxiliary-classifier VGG-BN-96 discriminator (sft_arch.py:87):
+    GAN head + 8-way segmentation-class head (SFT-GAN legacy)."""
+    base_nf: int = 64
+    num_classes: int = 8
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        nf = self.base_nf
+        feats = [nf, nf, nf * 2, nf * 2, nf * 4, nf * 4, nf * 8, nf * 8,
+                 nf * 8, nf * 8]
+        for i, f in enumerate(feats):
+            k = 4 if i % 2 == 1 else 3
+            s = 2 if i % 2 == 1 else 1
+            x = ConvBlock(f, k, s, norm=(i != 0), name=f'conv{i}')(x, train)
+        x = x.reshape(x.shape[0], -1)
+        gan = nn.Dense(100, name='gan_fc0')(x)
+        gan = nn.Dense(1, name='gan_fc1')(nn.leaky_relu(gan, 0.2))
+        cls = nn.Dense(100, name='cls_fc0')(x)
+        cls = nn.Dense(self.num_classes,
+                       name='cls_fc1')(nn.leaky_relu(cls, 0.2))
+        return gan, cls
+
+
 class PatchGANDiscriminator(nn.Module):
     """70x70-style PatchGAN critic (architecture.py:309-388).
 

@@ -108,6 +108,60 @@ def downscale_op(x: jnp.ndarray, weights: jnp.ndarray, f: int,
     return aliased_subsample(filter_replicate_same(x, weights), f, pre)
 
 
+def separable_factors(kernel2d: np.ndarray, tol: float = 1e-10):
+    """Rank-1 factorization k = outer(v, h) if the 2-D kernel is (numerically)
+    separable, else None.
+
+    The CEM's bicubic kernels are exact outer products, and inv_hTh of a
+    separable filter is itself exactly separable (the Fourier-domain
+    inverse of an outer product is an outer product), so the entire CEM
+    filter chain reduces to 1-D depthwise convs — ~k/2 times fewer VPU ops
+    than the 2-D depthwise form.
+    """
+    k = np.asarray(kernel2d, dtype=np.float64)
+    u, s, vt = np.linalg.svd(k)
+    if s[0] == 0 or (len(s) > 1 and s[1] > tol * s[0]):
+        return None
+    col = u[:, 0] * np.sqrt(s[0])
+    row = vt[0] * np.sqrt(s[0])
+    # fix sign so factors reproduce the kernel with positive center mass
+    if k.sum() > 0 and col.sum() * row.sum() < 0:
+        pass  # impossible for rank-1 with positive sum
+    if col.sum() < 0 and row.sum() < 0:
+        col, row = -col, -row
+    if not np.allclose(np.outer(col, row), k,
+                       atol=10 * tol * max(abs(s[0]), 1.0)):
+        return None
+    return col, row
+
+
+def depthwise_weights_1d(taps: np.ndarray, channels: int, axis: int,
+                         dtype=jnp.float32) -> jnp.ndarray:
+    """HWIO weights for a 1-D depthwise filter along H (axis=0) or W."""
+    t = np.asarray(taps, np.float64)
+    k2 = t[:, None] if axis == 0 else t[None, :]
+    return depthwise_weights(k2, channels, dtype)
+
+
+def filter_replicate_same_separable(x: jnp.ndarray, w_col: jnp.ndarray,
+                                    w_row: jnp.ndarray) -> jnp.ndarray:
+    """Separable version of :func:`filter_replicate_same`.
+
+    Replicate padding commutes across the two 1-D passes (edge-padding W
+    replicates columns, which the H-conv maps to the H-conv of those
+    columns), so the result is bit-equivalent to the 2-D filter up to fp
+    summation order.
+    """
+    kh = w_col.shape[0]
+    kw = w_row.shape[1]
+    x = jnp.pad(x, ((0, 0), (kh // 2, kh // 2), (0, 0), (0, 0)),
+                mode='edge')
+    x = depthwise_correlate(x, w_col)
+    x = jnp.pad(x, ((0, 0), (0, 0), (kw // 2, kw // 2), (0, 0)),
+                mode='edge')
+    return depthwise_correlate(x, w_row)
+
+
 def bilinear_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Bilinear resize of NHWC with half-pixel centers (antialias off).
 

@@ -1,0 +1,66 @@
+"""Small utilities mirroring utils/util.py odds and ends."""
+from __future__ import annotations
+
+import numpy as np
+
+
+def receptive_field(apply_fn, input_shape, out_pos=None) -> int:
+    """Numerical receptive-field size of a conv network — the gradient
+    footprint of one output pixel (base_model.py:70-111 / util.py:414-445,
+    computed there by probing; here via one jax.grad)."""
+    import jax
+    import jax.numpy as jnp
+    x = jnp.zeros(input_shape)
+    h_out = None
+
+    def center_out(x):
+        out = apply_fn(x)
+        oy = out.shape[1] // 2 if out_pos is None else out_pos[0]
+        ox = out.shape[2] // 2 if out_pos is None else out_pos[1]
+        return out[0, oy, ox].sum()
+
+    g = np.asarray(jax.grad(center_out)(x))[0]
+    footprint = np.abs(g).sum(-1) > 0
+    rows = np.flatnonzero(footprint.any(1))
+    cols = np.flatnonzero(footprint.any(0))
+    if rows.size == 0:
+        return 0
+    return int(max(rows[-1] - rows[0] + 1, cols[-1] - cols[0] + 1))
+
+
+def varying_weight(step, steps, values, legitimate_range=None):
+    """Piecewise-linear scheduled loss weight (utils/util.py:170-185)."""
+    steps = np.asarray(steps, np.float64)
+    values = np.asarray(values, np.float64)
+    w = float(np.interp(step, steps, values))
+    if legitimate_range is not None:
+        w = float(np.clip(w, *legitimate_range))
+    return w
+
+
+def z_map_to_png(z: np.ndarray) -> np.ndarray:
+    """Encode a [-1, 1] 3-channel Z map as a uint8 image for portable
+    save/load (the GUI stores Z as PNG — GUI.py:2633-2686,
+    util.py Convert_Im_2_Zinput:234)."""
+    assert z.ndim == 3 and z.shape[-1] == 3
+    return np.round((np.clip(z, -1, 1) + 1.0) * 127.5).astype(np.uint8)
+
+
+def png_to_z_map(img: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`z_map_to_png` (quantized to 1/127.5)."""
+    return img.astype(np.float32) / 127.5 - 1.0
+
+
+def min_outliers_threshold(scores: np.ndarray, labels: np.ndarray) -> float:
+    """Decision threshold minimizing misclassified samples between two
+    score populations (util.Min_Outliers_Threshold — used for the JPEG D's
+    'correctly distinguished' statistic, DecompCNN_model.py:607-608)."""
+    order = np.argsort(scores)
+    s, lab = scores[order], labels[order]
+    # candidates between consecutive scores; count errors for each split
+    pos_total = (lab > 0).sum()
+    neg_cum = np.cumsum(lab < 0)
+    pos_cum = np.cumsum(lab > 0)
+    errors = (pos_cum + ((lab < 0).sum() - neg_cum))
+    i = int(np.argmin(errors))
+    return float(s[i]) if i < len(s) - 1 else float(s[-1])

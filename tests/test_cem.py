@@ -114,3 +114,34 @@ def test_enforce_dt_on_image_pair(cem):
     m = cem.invalidity_margins_lr
     np.testing.assert_allclose(back[m:-m, m:-m], lr_source[m:-m, m:-m],
                                atol=1e-3)
+
+
+def test_separable_path_matches_2d(cem):
+    """The separable 1-D filter chain equals the 2-D depthwise chain."""
+    import jax.numpy as jnp
+    sf = cem.conf.scale_factor
+    f_sep = cem.device_filters(channels=3, separable=True)
+    f_2d = cem.device_filters(channels=3, separable=False)
+    assert f_sep.w_inv_hth_1d is not None, 'bicubic chain must factor'
+    rng = np.random.default_rng(5)
+    lr = jnp.asarray(rng.uniform(size=(1, 16, 16, 3)).astype(np.float32))
+    gen = jnp.asarray(rng.uniform(size=(1, 16 * sf, 16 * sf, 3))
+                      .astype(np.float32))
+    np.testing.assert_allclose(np.asarray(f_sep.enforce(lr, gen)),
+                               np.asarray(f_2d.enforce(lr, gen)),
+                               atol=3e-5)
+
+
+def test_non_separable_kernel_falls_back():
+    from exsr.ops.filters import separable_factors
+    # anisotropic rotated gaussian is not rank-1
+    y, x = np.mgrid[-6:7, -6:7]
+    u, v = (x + y) / np.sqrt(2), (x - y) / np.sqrt(2)
+    k = np.exp(-(u ** 2 / 2 + v ** 2 / 8))
+    k /= k.sum()
+    assert separable_factors(k) is None
+    g = np.outer(np.exp(-np.arange(-6, 7) ** 2 / 4),
+                 np.exp(-np.arange(-6, 7) ** 2 / 9))
+    fac = separable_factors(g)
+    assert fac is not None
+    np.testing.assert_allclose(np.outer(*fac), g, atol=1e-12)

@@ -99,3 +99,44 @@ def test_vgg19_features_shapes():
     out = m.apply(params, x)
     # conv5_4: 4 maxpools before block5 -> 64/16 = 4, 512 channels
     assert out.shape == (1, 4, 4, 512)
+
+
+def test_vgg96_and_acd_heads():
+    from exsr.models.discriminators import DiscriminatorVGG, ACDVGGBN96
+    x = jnp.zeros((1, 96, 96, 3))
+    d = DiscriminatorVGG(base_nf=16, input_size=96)
+    v = d.init(jax.random.PRNGKey(0), x)
+    out, _ = d.apply(v, x, train=True, mutable=['batch_stats'])
+    assert out.shape == (1, 1)
+    acd = ACDVGGBN96(base_nf=16, num_classes=8)
+    v = acd.init(jax.random.PRNGKey(0), x)
+    (gan, cls), _ = acd.apply(v, x, train=True, mutable=['batch_stats'])
+    assert gan.shape == (1, 1) and cls.shape == (1, 8)
+
+
+def test_vgg128_sn():
+    from exsr.models.discriminators import DiscriminatorVGG128SN
+    x = jnp.zeros((1, 128, 128, 3))
+    d = DiscriminatorVGG128SN(nf=8)
+    v = d.init(jax.random.PRNGKey(0), x)
+    out = d.apply(v, x, mutable=['spectral'])[0]
+    assert out.shape == (1, 1)
+
+
+def test_msrresnet_and_srresnet():
+    from exsr.models.classifiers import MSRResNet, SRResNet
+    x = jnp.zeros((1, 12, 12, 3))
+    for cls in (MSRResNet, SRResNet):
+        m = cls(nb=2, nf=8)
+        p = m.init(jax.random.PRNGKey(0), x)
+        assert m.apply(p, x).shape == (1, 48, 48, 3)
+
+
+def test_svhn_classifier_heads():
+    from exsr.models.classifiers import SVHNClassifier
+    m = SVHNClassifier()
+    x = jnp.zeros((2, 54, 54, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    heads = m.apply(v, x)
+    assert heads[0].shape == (2, 7)
+    assert all(h.shape == (2, 11) for h in heads[1:])
