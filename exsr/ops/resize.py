@@ -270,10 +270,36 @@ def gaussian_2d(sigma: float, size: int | None = None) -> np.ndarray:
     return g / np.sum(g)
 
 
+def _native_imresize(im, sf, f, kernel, pre_stride):
+    """C++ separable fast path (exsr.native); None when not applicable."""
+    try:
+        from exsr import native
+        from exsr.ops.filters import separable_factors
+    except ImportError:
+        return None
+    if not native.available():
+        return None
+    fac = separable_factors(np.asarray(kernel, np.float64))
+    if fac is None:
+        return None
+    col, row = fac
+    squeeze = im.ndim < 3
+    img = im[..., None] if squeeze else im
+    img = np.asarray(img, np.float64)
+    if sf > 1:
+        out = native.upscale(img, col, row, f,
+                             (int(pre_stride[0]), int(pre_stride[1])))
+    else:
+        out = native.downscale(img, col, row, f,
+                               (int(pre_stride[0]), int(pre_stride[1])))
+    return out[..., 0] if squeeze else out
+
+
 def imresize(im: np.ndarray, scale_factor: float,
              registry: KernelRegistry | None = None,
              use_zero_padding: bool = False,
-             align_center: bool = False) -> np.ndarray:
+             align_center: bool = False,
+             allow_native: bool = True) -> np.ndarray:
     """Integer-factor resampling of an HWC (or HW) numpy image.
 
     Host-side oracle used by the data pipeline and tests; the device path is
@@ -288,6 +314,12 @@ def imresize(im: np.ndarray, scale_factor: float,
     kernel = padded_upscale_kernel(f, registry)
     if sf < 1:
         kernel = np.rot90(kernel * sf ** 2, 2)
+    if allow_native and not use_zero_padding and not align_center:
+        # correlation with rot180(kernel) == scipy convolution with kernel
+        out = _native_imresize(im, sf, f, np.rot90(kernel, 2).copy(),
+                               pre_stride)
+        if out is not None:
+            return out
     pad = np.floor(np.array(kernel.shape) / 2).astype(np.int64)
     squeeze = im.ndim < 3
     if squeeze:
