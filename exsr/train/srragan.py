@@ -117,10 +117,12 @@ class SRRaGANTrainer:
 
     def __init__(self, cfg: TrainConfig, g_apply: Callable,
                  d_apply: Callable, margins_hr: int,
-                 rules: ShardingRules | None = None):
+                 rules: ShardingRules | None = None,
+                 f_apply: Callable | None = None):
         self.cfg = cfg
         self.g_apply = g_apply
         self.d_apply = d_apply
+        self.f_apply = f_apply  # perceptual feature net (VGG19-54)
         self.margins_hr = margins_hr
         self.rules = rules
         self.filter_cfg = FilterLossConfig(latent_channels=cfg.latent_channels)
@@ -300,6 +302,12 @@ class SRRaGANTrainer:
                     l_pix = jnp.abs(fake - ref).mean()
                     total = total + cfg.pixel_weight * l_pix / n_steps
                     metrics['l_g_pix'] = l_pix
+                if cfg.feature_weight and self.f_apply is not None:
+                    real_fea = jax.lax.stop_gradient(self.f_apply(ref))
+                    fake_fea = self.f_apply(fake)
+                    l_fea = jnp.abs(fake_fea - real_fea).mean()
+                    total = total + cfg.feature_weight * l_fea / n_steps
+                    metrics['l_g_fea'] = l_fea
                 if is_opt and cfg.optimal_z_weight:
                     l_map = jnp.abs(fake - ref).mean()
                     total = total + cfg.optimal_z_weight * l_map

@@ -1,0 +1,62 @@
+"""Mesh / sharding tests on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from exsr.parallel.mesh import make_mesh, ShardingRules, local_batch_slice
+from exsr.cem.cem import CEM, CEMConf
+
+
+def test_mesh_and_rules():
+    mesh = make_mesh(data=4, spatial=2)
+    assert mesh.devices.shape == (4, 2)
+    rules = ShardingRules(mesh)
+    batch = {'lr': np.zeros((8, 16, 16, 3), np.float32),
+             'qf': np.zeros((8,), np.float32)}
+    sharded = rules.shard_batch(batch)
+    assert sharded['lr'].sharding.spec == P('data', 'spatial', None, None)
+
+
+def test_spatial_sharding_preserves_cem_output():
+    """Sharding H over the 'spatial' axis must not change the CEM filter
+    chain's values — XLA inserts the conv halo exchanges (the spatial
+    analogue of sequence parallelism for this conv-only model family,
+    SURVEY.md section 5)."""
+    cem = CEM.create(CEMConf(scale_factor=4))
+    filt = cem.device_filters(3)
+    rng = np.random.default_rng(0)
+    lr = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+    gen = rng.uniform(size=(2, 128, 128, 3)).astype(np.float32)
+
+    ref = np.asarray(filt.enforce(jnp.asarray(lr), jnp.asarray(gen)))
+
+    mesh = make_mesh(data=2, spatial=4)
+    spec = NamedSharding(mesh, P('data', 'spatial', None, None))
+    lr_s = jax.device_put(lr, spec)
+    gen_s = jax.device_put(gen, spec)
+    out_s = jax.jit(filt.enforce, out_shardings=spec)(lr_s, gen_s)
+    np.testing.assert_allclose(np.asarray(out_s), ref, atol=2e-5)
+
+
+def test_data_parallel_forward_matches_single_device():
+    from exsr.models.rrdb import RRDBNet
+    g = RRDBNet(nb=1, nf=8, gc=4, latent_channels=3)
+    lr = np.random.default_rng(1).uniform(size=(8, 8, 8, 3)) \
+        .astype(np.float32)
+    z = np.zeros((8, 32, 32, 3), np.float32)
+    params = g.init(jax.random.PRNGKey(0), jnp.asarray(lr[:1]),
+                    jnp.asarray(z[:1]))
+    ref = np.asarray(g.apply(params, jnp.asarray(lr), jnp.asarray(z)))
+    mesh = make_mesh(data=8, spatial=1)
+    rules = ShardingRules(mesh)
+    out = jax.jit(g.apply)(rules.replicate(params),
+                           jax.device_put(lr, rules.batch),
+                           jax.device_put(z, rules.batch))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_local_batch_slice():
+    s = local_batch_slice(16, process_index=1, process_count=4)
+    assert (s.start, s.stop) == (4, 8)
