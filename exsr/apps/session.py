@@ -209,6 +209,20 @@ class EditSession:
             mask_hr = self.region_mask_hr[y0 * s:y1 * s, x0 * s:x1 * s]
             hr_slice = (slice(y0 * s, y1 * s), slice(x0 * s, x1 * s))
 
+        # crop the data tensors to the same HR window (GUI.py:1964-1981
+        # crops LR/HR/Z/masks AND the objective's images)
+        data = dict(data)
+        for key in ('desired', 'reference_image_min', 'reference_image_max'):
+            if key in data and hasattr(data[key], 'ndim'):
+                arr = np.asarray(data[key])
+                if arr.ndim == 4 and arr.shape[1:3] == \
+                        self.region_mask_hr.shape:
+                    data[key] = arr[:, hr_slice[0], hr_slice[1]]
+        for key in ('scribble_mask',):
+            if key in data and np.asarray(data[key]).shape == \
+                    self.region_mask_hr.shape:
+                data[key] = np.asarray(data[key])[hr_slice[0], hr_slice[1]]
+
         b = n_alternatives
         lr_batch = jnp.asarray(np.repeat(lr_crop, b, axis=0))
         margins = self.cem.invalidity_margins_lr
@@ -365,6 +379,22 @@ class EditSession:
                         (helpers(out) - initial_std) ** 2).mean()
             else:
                 loss = shl
+        elif 'desired_SVD' in name:
+            loss = obj.desired_svd_objective(
+                jnp.asarray(data['reference_image_min']),
+                jnp.asarray(data['reference_image_max']),
+                jnp.asarray(data['desired_Z'], jnp.float32),
+                mask_dev)
+        elif name == 'digit':
+            assert self.d_apply is None or True
+            classifier = data['classifier_apply']
+            ys, xs = np.nonzero(mask > 0)
+            bounds = (int(ys.min()), int(xs.min()), int(ys.max()),
+                      int(xs.max()))
+            loss = obj.digit_objective(
+                classifier, bounds, int(data['digit_2_resemble']),
+                multiview=tuple(data.get('multiview_classification',
+                                         (1, 3))))
         elif 'VGG' in name and 'random' not in name:
             assert self.vgg_apply is not None, 'no feature net attached'
             desired_feat = self.vgg_apply(jnp.asarray(data['desired']))
@@ -418,6 +448,61 @@ class EditSession:
         return jnp.asarray(desired), l1_mask, tv_masks
 
     # -------------------------------------------------------------- editing
+    def find_optimal_imprint_location(self, imprint: np.ndarray,
+                                      search_mask: np.ndarray,
+                                      n_trials: int = 200,
+                                      seed: int = 0):
+        """Random coordinate search for the most LR-consistent placement of
+        an imprint (FindOptimalImprintingLocation, GUI.py:887-961): sample
+        top-left positions inside the search region, score each by the
+        LR-consistency error of the composited image over the imprint's
+        footprint, return the best position and its score."""
+        ih, iw = imprint.shape[:2]
+        H, W = self.region_mask_hr.shape
+        ys, xs = np.nonzero(search_mask > 0)
+        y_lo, y_hi = ys.min(), min(ys.max(), H - ih)
+        x_lo, x_hi = xs.min(), min(xs.max(), W - iw)
+        assert y_hi >= y_lo and x_hi >= x_lo, 'imprint larger than region'
+        rng = np.random.default_rng(seed)
+        sr = np.asarray(self.sr[0], np.float64)
+        from exsr.ops.resize import imresize
+        best = (np.inf, (int(y_lo), int(x_lo)))
+        s = self.scale
+        for _ in range(n_trials):
+            y = int(rng.integers(y_lo, y_hi + 1))
+            x = int(rng.integers(x_lo, x_hi + 1))
+            composite = sr.copy()
+            composite[y:y + ih, x:x + iw] = imprint
+            # score only the LR footprint of the imprint (cheap local crop)
+            y0, x0 = max(0, y // s - 4), max(0, x // s - 4)
+            y1 = min(H // s, (y + ih) // s + 4)
+            x1 = min(W // s, (x + iw) // s + 4)
+            crop = composite[y0 * s:y1 * s, x0 * s:x1 * s]
+            down = imresize(crop, 1.0 / s)
+            err = float(np.abs(
+                down - self.lr_image[0, y0:y1, x0:x1]).mean())
+            if err < best[0]:
+                best = (err, (y, x))
+        return {'position': best[1], 'consistency_error': best[0]}
+
+    def imprint(self, imprint_rgb: np.ndarray, position: tuple[int, int],
+                optimize_iters: int = 25):
+        """Paste an imprint at an HR position, make it LR-consistent, and
+        pull Z toward reproducing it (GUI.py:857-1283 imprinting flow)."""
+        y, x = position
+        ih, iw = imprint_rgb.shape[:2]
+        desired_full = np.asarray(self.sr[0], np.float64).copy()
+        desired_full[y:y + ih, x:x + iw] = imprint_rgb
+        consistent = self.cem.enforce_dt_on_image_pair(
+            self.lr_image[0].astype(np.float64), desired_full)
+        mask = np.zeros(self.region_mask_hr.shape, np.float32)
+        mask[y:y + ih, x:x + iw] = 1.0
+        self.set_region(mask)
+        return self.optimize(
+            'l1', data={'desired': np.clip(consistent, 0, 1)[None]
+                        .astype(np.float32)},
+            max_iters=optimize_iters)
+
     def enforce_hsv_edit(self, edited_hr: np.ndarray):
         """Make an external HR edit LR-consistent and display it
         (GUI.py:1552-1585 via CEM Enforce_DT_on_Image_Pair)."""

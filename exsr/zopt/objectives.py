@@ -281,6 +281,103 @@ def brightness_objective(desired: jnp.ndarray, loss_mask: jnp.ndarray):
     return l1_to_desired(desired, loss_mask)
 
 
+def desired_svd_objective(reference_min: jnp.ndarray,
+                          reference_max: jnp.ndarray,
+                          target_z3: jnp.ndarray,
+                          image_mask: jnp.ndarray,
+                          noise_std: float = 1.0 / 255.0):
+    """'desired_SVD': drive the masked structure-tensor statistics toward
+    the Z the SVD sliders encode — FilterLoss in constant-Z mode
+    (loss.py:69-83,171-192; wired by Z_optimization.py:456-458,704-705).
+
+    ``reference_min``/``reference_max`` are the model outputs at Z=-1 and
+    Z=+1 over the same region (GUI passes them so the slider range maps to
+    the model's actually attainable statistic range).
+    """
+    from exsr.ops.structure_tensor import image_gradients
+    mask = image_mask[:-1, :-1]  # gradient maps lose one row/col
+    msum = mask.sum()
+
+    def masked_moments(img4):
+        ix, iy = image_gradients(img4)
+        mom = jnp.stack([ix * ix, iy * iy, ix * iy], 0)  # [3,B,H-1,W-1,C]
+        mom = mom.mean(axis=-1)                           # channel mean
+        return (mom * mask[None, None]).sum(axis=(2, 3)) / msum  # [3, B]
+
+    ref_min = masked_moments(reference_min)[:, 0]
+    ref_max = masked_moments(reference_max)[:, 0]
+    normalizer = jnp.sqrt(jnp.prod(
+        (ref_min[:2] + ref_max[:2]) / 2.0)) + noise_std
+    ref_min = ref_min / normalizer
+    ref_max = ref_max / normalizer
+    tz = target_z3.reshape(-1)
+
+    def loss_fn(out, z):
+        measured = masked_moments(out) / normalizer      # [3, B]
+        target = tz / 2.0 * (ref_max - ref_min) + (ref_max + ref_min) / 2.0
+        return jnp.abs(measured - target[:, None]).mean()
+    return loss_fn
+
+
+def digit_objective(classifier_apply: Callable, mask_bounds: tuple,
+                    digit: int, multiview: tuple[int, int] = (1, 3),
+                    classifier_size: int = 54):
+    """'digit': make the masked region classify as a given SVHN digit
+    (Z_optimization.py:551-601): crop to the mask bounds, build multiple
+    zoom/translation views resized to the classifier input, minimize
+    cross-entropy of (digit, length==1) over the views.
+
+    ``classifier_apply(x) -> (length_logits, d1, d2, d3, d4, d5)`` with x
+    in [-1, 1].  View geometry is fixed per edit (host-side), so the whole
+    objective stays static-shape.
+    """
+    import optax
+    y0, x0, y1, x1 = mask_bounds
+    ch, cw = y1 - y0 + 1, x1 - x0 + 1
+    n_zoom, n_trans = multiview
+    if n_trans % 2 == 0:
+        n_trans += 1
+    views = []
+    seen = set()
+    for extra_zoom in range(n_zoom + 1):
+        rf = (classifier_size - extra_zoom) / ch
+        rw = int(np.round(rf * cw))
+        req = classifier_size - rw
+        for left in np.linspace(0, req, n_trans + 2)[1:-1]:
+            pad_l = int(np.round(left))
+            pad_t = int(np.round(np.ceil(extra_zoom / 2)))
+            key = (pad_l, pad_t, rf)
+            if key in seen:
+                continue
+            seen.add(key)
+            views.append((rf, pad_l, req - pad_l, pad_t,
+                          extra_zoom - pad_t))
+
+    def transform(out):
+        crop = out[:, y0:y1 + 1, x0:x1 + 1, :]
+        stacked = []
+        for rf, pl_, pr_, pt_, pb_ in views:
+            rh = int(np.round(rf * ch))
+            rw = int(np.round(rf * cw))
+            v = jax.image.resize(crop, (crop.shape[0], rh, rw, 3),
+                                 method='bilinear')
+            v = jnp.pad(v, ((0, 0), (pt_, pb_), (pl_, pr_), (0, 0)),
+                        mode='edge')
+            stacked.append(v)
+        return (jnp.concatenate(stacked, 0) - 0.5) / 0.5
+
+    def loss_fn(out, z):
+        heads = classifier_apply(transform(out))
+        length_logits, d1 = heads[0], heads[1]
+        n = d1.shape[0]
+        digit_loss = optax.softmax_cross_entropy_with_integer_labels(
+            d1, jnp.full((n,), digit, jnp.int32)).mean()
+        length_loss = optax.softmax_cross_entropy_with_integer_labels(
+            length_logits, jnp.ones((n,), jnp.int32)).mean()
+        return digit_loss + length_loss
+    return loss_fn
+
+
 def non_local_constraint(initial_output: jnp.ndarray,
                          constraining_mask: jnp.ndarray, weight: float):
     """Penalty holding the image fixed outside the edit mask

@@ -69,3 +69,36 @@ def test_save_load_z(session, tmp_path):
     session.set_uniform_z([0.0, 0.0, 0.0])
     session.load_z(p)
     np.testing.assert_array_equal(session.cur_z, z_saved)
+
+
+def test_desired_svd_objective(session):
+    mask = np.zeros((96, 96), np.float32)
+    mask[20:70, 20:70] = 1.0
+    session.set_region(mask)
+    # reference outputs at Z = -1 / +1
+    sr_min = np.asarray(session._fwd(
+        session.params, np.asarray(session.lr_image),
+        -np.ones_like(session.cur_z)))
+    sr_max = np.asarray(session._fwd(
+        session.params, np.asarray(session.lr_image),
+        np.ones_like(session.cur_z)))
+    res = session.optimize(
+        'desired_SVD',
+        data={'reference_image_min': sr_min,
+              'reference_image_max': sr_max,
+              'desired_Z': np.array([0.5, -0.2, 0.1])},
+        max_iters=10, time_budget_s=20.0)
+    assert np.isfinite(res['final_loss'])
+    session.clear_region()
+    session.undo()
+
+
+def test_imprint_location_search(session):
+    imprint = 0.9 * np.ones((16, 16, 3), np.float64)
+    search = np.zeros((96, 96), np.float32)
+    search[10:80, 10:80] = 1.0
+    res = session.find_optimal_imprint_location(imprint, search,
+                                                n_trials=20, seed=0)
+    y, x = res['position']
+    assert 10 <= y <= 80 and 10 <= x <= 80
+    assert np.isfinite(res['consistency_error'])
