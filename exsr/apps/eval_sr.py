@@ -23,13 +23,15 @@ import numpy as np
 
 
 def build_model(scale: int, nb: int = 23, latent_channels: int = 3,
-                checkpoint: str | None = None):
+                checkpoint: str | None = None,
+                upscale_kernel=None):
     import jax
     import jax.numpy as jnp
     from exsr.cem.cem import CEM, CEMConf, cem_wrap
     from exsr.models.rrdb import RRDBNet
 
-    cem = CEM.create(CEMConf(scale_factor=scale))
+    cem = CEM.create(CEMConf(scale_factor=scale),
+                     upscale_kernel=upscale_kernel)
     filt = cem.device_filters(3)
     g = RRDBNet(nb=nb, upscale=scale, latent_channels=latent_channels)
     params = g.init(jax.random.PRNGKey(0),
@@ -63,6 +65,15 @@ def main(argv=None):
     p.add_argument('--out_dir', default='results')
     p.add_argument('--save_images', action='store_true')
     p.add_argument('--max_images', type=int, default=None)
+    p.add_argument('--z_sweep_gif', type=int, default=0, metavar='N',
+                   help='export an N-frame GIF sweeping one Z channel '
+                        'from -1 to 1 per image (test.py:289-319)')
+    p.add_argument('--kernel', choices=['bicubic', 'estimated'],
+                   default='bicubic',
+                   help="'estimated' runs KernelGAN per image and rebuilds "
+                        'the CEM with the estimated kernel '
+                        '(test.py:143-148)')
+    p.add_argument('--kernelgan_iters', type=int, default=3000)
     args = p.parse_args(argv)
 
     from exsr.data.datasets import LRHRDataset, LRDataset
@@ -73,6 +84,17 @@ def main(argv=None):
 
     cem, forward = build_model(args.scale, args.nb,
                                checkpoint=args.checkpoint)
+    kernel_estimator = None
+    if args.kernel == 'estimated':
+        from exsr.kernelgan.kernelgan import (KernelGAN, KernelGANConfig,
+                                              analytic_x4_kernel)
+
+        def kernel_estimator(lr_img):
+            kg = KernelGAN(KernelGANConfig(
+                max_iters=args.kernelgan_iters))
+            k2 = kg.estimate(lr_img)
+            return analytic_x4_kernel(k2) if args.scale == 4 else k2
+
     if args.hr_dir:
         ds = LRHRDataset(hr_root=args.hr_dir, lr_root=args.lr_dir,
                          scale=args.scale, train=False, patch_size=None)
@@ -87,6 +109,15 @@ def main(argv=None):
         item = ds[i]
         lr = item['lr'][None]
         name = os.path.splitext(os.path.basename(item['path']))[0]
+        fwd = forward
+        if kernel_estimator is not None:
+            # per-image blind kernel -> rebuild the CEM around it
+            # (the reference re-creates the model per image,
+            # test.py:143-148)
+            est = kernel_estimator(item['lr'])
+            cem_i, fwd = build_model(args.scale, args.nb,
+                                     checkpoint=args.checkpoint,
+                                     upscale_kernel=est)
         t0 = time.time()
         zs = [np.zeros((1, lr.shape[1] * args.scale,
                         lr.shape[2] * args.scale, 3), np.float32)]
@@ -94,7 +125,7 @@ def main(argv=None):
         for _ in range(args.num_z - 1):
             zs.append(rng.uniform(-1, 1, size=zs[0].shape)
                       .astype(np.float32))
-        outs = [forward(lr, z) for z in zs]
+        outs = [fwd(lr, z) for z in zs]
         dt = time.time() - t0
         sr0 = tensor2img(outs[0])
         rec = {'name': name, 'time_s': dt}
@@ -120,6 +151,18 @@ def main(argv=None):
             from PIL import Image
             Image.fromarray(sr0).save(
                 os.path.join(args.out_dir, f'{name}_SR.png'))
+        if args.z_sweep_gif > 1:
+            # sweep channel 0 of Z from -1 to 1 (test.py:289-319)
+            from PIL import Image
+            frames = []
+            for v in np.linspace(-1.0, 1.0, args.z_sweep_gif):
+                z = np.zeros_like(zs[0])
+                z[..., 0] = v
+                frames.append(Image.fromarray(tensor2img(fwd(lr, z))))
+            frames[0].save(
+                os.path.join(args.out_dir, f'{name}_Zsweep.gif'),
+                save_all=True, append_images=frames[1:], duration=150,
+                loop=0)
         print(json.dumps(rec))
 
     summary = {'num_images': len(results)}

@@ -141,6 +141,9 @@ def main(argv=None):
     s = sub.add_parser('color2gray')
     s.add_argument('--input_dir', required=True)
     s.add_argument('--output_dir', required=True)
+    s = sub.add_parser('pack')
+    s.add_argument('--input_dir', required=True)
+    s.add_argument('--out', required=True)
     args = p.parse_args(argv)
     if args.cmd == 'extract_subimages':
         extract_subimages(args.input_dir, args.output_dir, args.crop_size,
@@ -155,6 +158,10 @@ def main(argv=None):
         make_gif(args.frames_dir, args.out)
     elif args.cmd == 'color2gray':
         color2gray(args.input_dir, args.output_dir)
+    elif args.cmd == 'pack':
+        from exsr.data.packed import pack_images
+        n = pack_images(args.input_dir, args.out)
+        print(f'packed {n} images into {args.out}')
 
 
 if __name__ == '__main__':

@@ -60,13 +60,16 @@ class EditSession:
     latent_channels: int = 3
     z_range: float = 1.0
     time_budget_s: float = DEFAULT_TIME_BUDGET_S
+    edit_dtype: object = None     # e.g. jnp.bfloat16: bf16 trunk for edits
+    fast_edit: bool = True        # crop includes the margins; skip pre-pad
 
     def __post_init__(self):
         self.cem = CEM.create(CEMConf(scale_factor=self.scale))
         self.filters = self.cem.device_filters(3)
         from exsr.models.rrdb import RRDBNet
         self.generator = RRDBNet(nb=self.nb, upscale=self.scale,
-                                 latent_channels=self.latent_channels)
+                                 latent_channels=self.latent_channels,
+                                 dtype=self.edit_dtype)
         self.params = None
         self._wrapped = cem_wrap(
             lambda p, x, z: self.generator.apply(p, x, z), self.filters,
@@ -226,10 +229,15 @@ class EditSession:
         b = n_alternatives
         lr_batch = jnp.asarray(np.repeat(lr_crop, b, axis=0))
         margins = self.cem.invalidity_margins_lr
+        # the crop box already includes the invalidity margins; in fast-edit
+        # mode skip the eval-time replicate pre-pad (it would pad a second
+        # margin, ~2x the pixels through the generator per step)
+        use_prepad = not (self.fast_edit and box is not None)
 
         def forward(z):
             return jnp.clip(self._wrapped(self.params, lr_batch, z,
-                                          margins, pre_pad=True), 0.0, 1.0)
+                                          margins, pre_pad=use_prepad),
+                            0.0, 1.0)
 
         initial_out = np.asarray(forward(jnp.asarray(
             np.repeat(z_full, b, axis=0))))

@@ -130,3 +130,22 @@ def test_variant_collapsing():
     assert out['a'] == 2 and out['b']['c'] is None
     d2 = {'a': {'PhaseInit': 1, 'PhaseGAN': 2}}
     assert C.collapse_variant(d2, 'PhaseInit')['a'] == 1
+
+
+def test_packed_dataset_round_trip(image_dir, tmp_path):
+    from exsr.data.packed import pack_images, PackedLRHRDataset
+    from exsr.data.datasets import LRHRDataset
+    pack = str(tmp_path / 'imgs.pack')
+    n = pack_images(image_dir, pack)
+    assert n == 4
+    ds = PackedLRHRDataset(pack, scale=4, patch_size=32, train=True)
+    item = ds.__getitem__(1, rng=np.random.default_rng(3))
+    assert item['lr'].shape == (8, 8, 3)
+    assert item['hr'].shape == (32, 32, 3)
+    # same content as the folder dataset
+    folder = LRHRDataset(hr_root=image_dir, scale=4, train=False,
+                         patch_size=None)
+    a = ds.__getitem__(0, rng=np.random.default_rng(0))
+    ds2 = PackedLRHRDataset(pack, scale=4, train=False)
+    b = folder[0]
+    np.testing.assert_allclose(ds2.__getitem__(0)['hr'], b['hr'], atol=1e-6)
