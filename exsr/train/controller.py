@@ -81,9 +81,14 @@ class GANController:
     std_4_lr_drop: float | None = 1e6
     lr_gamma: float = 0.5
 
+    steps_4_d_convergence: int = 2000
+    lr_change_ratio: float = 4.0
+
     step: int = 0
     generator_started_learning: bool = False
     verified_d_saved: bool = False
+    d_verified: bool = False
+    d_converged: bool = False
     lr_scale: float = 1.0
     log: dict = dataclasses.field(default_factory=dict)
     gd_controller: GDUpdateController | None = None
@@ -96,9 +101,19 @@ class GANController:
             self.gd_controller = GDUpdateController(self.d_update_ratio)
 
     # --------------------------------------------------------------- gating
+    def _past_window_ok(self, n: int) -> bool:
+        diffs = self.log['D_logits_diff'][-n:]
+        correct = self.log['Correctly_distinguished'][-n:]
+        if len(diffs) < n:
+            return False
+        thresh = np.log(self.min_d_prob_ratio_4_g)
+        return (all(v > thresh for v in diffs)
+                and all(v > self.min_mean_d_correct for v in correct))
+
     def want_g_step(self) -> bool:
-        """SRRaGAN_model.py:287-295 + the 'past' D-verification gate
-        (:379-382)."""
+        """SRRaGAN_model.py:287-295 + the D-verification gates:
+        'past' (:379-382), 'current' (:394-396), 'convergence' (:383-393),
+        'initial'/'initial_gradual' (DecompCNN_model.py:536-567)."""
         if self.step <= self.d_init_iters:
             return False
         if self.gd_controller is not None:
@@ -108,15 +123,53 @@ class GANController:
             ok = self.step % ratio == 0
         if not ok:
             return False
-        if self.d_verification == 'past' and self.d_valid_steps_4_g > 0:
-            n = self.d_valid_steps_4_g
-            diffs = self.log['D_logits_diff'][-n:]
-            correct = self.log['Correctly_distinguished'][-n:]
-            if len(diffs) < n:
+        mode = self.d_verification
+        n = self.d_valid_steps_4_g
+        if mode == 'past' and n > 0:
+            return self._past_window_ok(n)
+        if mode in ('initial', 'initial_gradual') and n > 0:
+            # once verified, stay verified ('initial'); gradual mode
+            # re-verifies over a 100x window (DecompCNN_model.py:555-567)
+            if self.d_verified:
+                return True
+            if self._past_window_ok(n):
+                if mode == 'initial':
+                    self.d_verified = True
+                else:
+                    win = 100 * n
+                    diffs = self.log['D_logits_diff'][-win:]
+                    correct = self.log['Correctly_distinguished'][-win:]
+                    if len(diffs) >= win and \
+                            np.mean(diffs) > np.log(
+                                self.min_d_prob_ratio_4_g) and \
+                            np.mean(correct) > self.min_mean_d_correct:
+                        self.d_verified = True
+                return True
+            if self.gd_controller is not None:
+                self.gd_controller.force_d = True
+            return False
+        if mode == 'current':
+            if not self.log['D_logits_diff']:
                 return False
-            thresh = np.log(self.min_d_prob_ratio_4_g)
-            return (all(v > thresh for v in diffs)
-                    and all(v > self.min_mean_d_correct for v in correct))
+            return self.log['D_logits_diff'][-1] > np.log(
+                self.min_d_prob_ratio_4_g)
+        if mode == 'convergence':
+            # D considered converged when its loss trend flattens relative
+            # to its noise (SRRaGAN_model.py:383-393)
+            if not self.d_converged and \
+                    self.step >= self.steps_4_d_convergence:
+                std = slope = 0.0
+                for key in ('l_d_real', 'l_d_fake'):
+                    vals = self.log[key][-self.steps_4_loss_std:]
+                    if len(vals) < 3:
+                        return False
+                    x = np.arange(len(vals))
+                    (cur_slope, _), cov = np.polyfit(x, vals, 1, cov=True)
+                    std += 0.5 * float(np.sqrt(cov[0][0]))
+                    slope += 0.5 * float(cur_slope)
+                self.d_converged = \
+                    -self.lr_change_ratio * min(-1e-5, slope) < std
+            return self.d_converged
         return True
 
     def want_d_step(self) -> bool:

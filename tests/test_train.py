@@ -131,3 +131,37 @@ def test_sharded_d_step_runs_on_mesh(tiny_setup):
     batch = rules.shard_batch(_batch(lr_size, patch, b=8))
     state1, metrics = trainer.d_step(state, batch, dual=False)
     assert np.isfinite(float(metrics['l_d_total']))
+
+
+def test_controller_verification_modes():
+    good = {'D_logits_diff': 1.0, 'Correctly_distinguished': 1.0,
+            'l_d_real_0': 0.1, 'l_d_fake_0': 0.1}
+    # 'initial': once the window is good, verification sticks
+    c = GANController(d_update_ratio=1, d_valid_steps_4_g=2,
+                      d_verification='initial')
+    c.step = 1
+    assert not c.want_g_step()
+    for _ in range(2):
+        c.record_d(good)
+    assert c.want_g_step() and c.d_verified
+    # later bad steps don't un-verify
+    c.record_d({**good, 'D_logits_diff': -5.0,
+                'Correctly_distinguished': 0.0})
+    assert c.want_g_step()
+    # 'current': only the latest D step matters
+    c2 = GANController(d_update_ratio=1, d_verification='current')
+    c2.step = 1
+    c2.record_d(good)
+    assert c2.want_g_step()
+    c2.record_d({**good, 'D_logits_diff': -1.0})
+    assert not c2.want_g_step()
+    # 'convergence': flat noisy loss trend converges
+    c3 = GANController(d_update_ratio=1, d_verification='convergence',
+                       steps_4_loss_std=20)
+    c3.steps_4_d_convergence = 10
+    c3.step = 30
+    rng = np.random.default_rng(0)
+    for i in range(30):
+        c3.record_d({**good, 'l_d_real_0': float(rng.normal(1.0, 0.2)),
+                     'l_d_fake_0': float(rng.normal(1.0, 0.2))})
+    assert c3.want_g_step()
