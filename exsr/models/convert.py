@@ -1,0 +1,118 @@
+"""Pretrained-weight conversion: torch ESRGAN/reference checkpoints -> exsr.
+
+The reference warm-starts the explorable generator from a Z-less ESRGAN
+checkpoint by zero-initializing the extra latent input channels
+(process_loaded_state_dict, base_model.py:146-190).  This module converts a
+torch RRDB state dict (either the original ESRGAN layout `model.0.weight`,
+`model.1.sub.N...` or the reference's ModuleList layout) into our flax
+RRDBNet params with the same zero-init Z migration.
+
+Torch OIHW conv weights become HWIO; the reference's channel order for a
+Z-injected conv is [z, x] (torch cat([latent, x], 1)) which matches our
+ZConv concatenation order, so Z columns are PREPENDED zero blocks.
+"""
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+
+def _oihw_to_hwio(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _prepend_zero_in_channels(kernel_hwio: np.ndarray, nz: int
+                              ) -> np.ndarray:
+    """Zero-init latent input channels in front of the image channels
+    (base_model.py:146-190 zero-pads the new Z input channels)."""
+    if nz == 0:
+        return kernel_hwio
+    kh, kw, cin, cout = kernel_hwio.shape
+    z = np.zeros((kh, kw, nz, cout), kernel_hwio.dtype)
+    return np.concatenate([z, kernel_hwio], axis=2)
+
+
+def convert_esrgan_rrdb(state: dict, nb: int = 23,
+                        latent_channels: int = 3) -> dict:
+    """torch ESRGAN RRDB state dict -> exsr RRDBNet params pytree.
+
+    Accepts the classic ESRGAN layout:
+      model.0.*                      fea_conv
+      model.1.sub.{i}.RDB{r}.conv{c}.0.*   trunk blocks (i in 0..nb-1)
+      model.1.sub.{nb}.*             trunk_conv
+      model.3.* / model.6.*          upconv0 / upconv1
+      model.8.* / model.10.*         hr_conv0 / hr_conv1
+    """
+    def get(k):
+        v = state[k]
+        return v.numpy() if hasattr(v, 'numpy') else np.asarray(v)
+
+    nz = latent_channels
+    params: dict = {}
+
+    def conv_entry(wkey, bkey, nz_pad):
+        kernel = _prepend_zero_in_channels(_oihw_to_hwio(get(wkey)), nz_pad)
+        entry = {'kernel': kernel}
+        if bkey in state:
+            entry['bias'] = get(bkey)
+        return entry
+
+    params['fea_conv'] = conv_entry('model.0.weight', 'model.0.bias', nz)
+
+    # trunk: stacked params [nb, ...] for the scan body
+    def stack(fn):
+        items = [fn(i) for i in range(nb)]
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    trunk: dict = {}
+    for r in (1, 2, 3):
+        rdb: dict = {}
+        for c in range(5):
+            def one(i, r=r, c=c):
+                base = f'model.1.sub.{i}.RDB{r}.conv{c + 1}.0'
+                return conv_entry(f'{base}.weight', f'{base}.bias', nz)
+            rdb[f'conv{c}'] = {'Conv_0': stack(one)}
+        trunk[f'rdb{r}'] = rdb
+    params['trunk'] = {'RRDB_0': trunk}  # scan body module name
+    params['trunk_conv'] = {'Conv_0': conv_entry(
+        f'model.1.sub.{nb}.weight', f'model.1.sub.{nb}.bias', nz)}
+    params['upconv0'] = conv_entry('model.3.weight', 'model.3.bias', 0)
+    params['upconv1'] = conv_entry('model.6.weight', 'model.6.bias', 0)
+    params['hr_conv0'] = {'Conv_0': conv_entry(
+        'model.8.weight', 'model.8.bias', nz)}
+    params['hr_conv1'] = {'Conv_0': conv_entry(
+        'model.10.weight', 'model.10.bias', nz)}
+    return {'params': params}
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a torch .pth state dict (CPU), unwrapping DataParallel and CEM
+    wrappers (Adjust_State_Dict_Keys semantics, CEMnet.py:403-412)."""
+    import torch
+    raw = torch.load(path, map_location='cpu', weights_only=False)
+    if isinstance(raw, dict) and 'state_dict' in raw:
+        raw = raw['state_dict']
+    out = {}
+    for k, v in raw.items():
+        k = re.sub(r'^module\.', '', k)
+        k = re.sub(r'^generated_image_model\.', '', k)
+        if 'Filter_OP' in k:   # CEM frozen filters — rebuilt analytically
+            continue
+        out[k] = v
+    return out
+
+
+def align_params_to(template, converted):
+    """Cast/verify a converted pytree against a model-init template; raises
+    on shape mismatches with a readable path."""
+    import jax
+
+    def check(path, a, b):
+        if tuple(np.shape(a)) != tuple(np.shape(b)):
+            raise ValueError(
+                f'shape mismatch at {jax.tree_util.keystr(path)}: '
+                f'template {np.shape(a)} vs converted {np.shape(b)}')
+        return np.asarray(b, dtype=np.asarray(a).dtype)
+
+    return jax.tree_util.tree_map_with_path(check, template, converted)

@@ -140,3 +140,53 @@ def test_svhn_classifier_heads():
     heads = m.apply(v, x)
     assert heads[0].shape == (2, 7)
     assert all(h.shape == (2, 11) for h in heads[1:])
+
+
+def test_esrgan_converter_zero_z_equivalence():
+    """Converted ESRGAN weights with zero-init Z columns: at Z=0 the
+    explorable generator must equal the latent-free generator with the
+    same image weights (warm-start migration, base_model.py:146-190)."""
+    from exsr.models.convert import convert_esrgan_rrdb, align_params_to
+    nb, nf, gc = 2, 8, 4
+    rng = np.random.default_rng(0)
+
+    state = {}
+    def add_conv(key, cin, cout, k=3):
+        state[f'{key}.weight'] = rng.normal(
+            0, 0.05, size=(cout, cin, k, k)).astype(np.float32)
+        state[f'{key}.bias'] = rng.normal(
+            0, 0.01, size=(cout,)).astype(np.float32)
+
+    add_conv('model.0', 3, nf)
+    for i in range(nb):
+        for r in (1, 2, 3):
+            for c in range(5):
+                cin = nf + c * gc
+                cout = gc if c < 4 else nf
+                add_conv(f'model.1.sub.{i}.RDB{r}.conv{c + 1}.0', cin, cout)
+    add_conv(f'model.1.sub.{nb}', nf, nf)
+    add_conv('model.3', nf, nf)
+    add_conv('model.6', nf, nf)
+    add_conv('model.8', nf, nf)
+    add_conv('model.10', nf, 3)
+
+    lr = jnp.asarray(rng.uniform(size=(1, 10, 10, 3)).astype(np.float32))
+    # latent-free model with nz=0 conversion
+    g0 = RRDBNet(nb=nb, nf=nf, gc=gc, latent_channels=0)
+    t0 = g0.init(jax.random.PRNGKey(0), lr, None)
+    p0 = align_params_to(t0, convert_esrgan_rrdb(state, nb=nb,
+                                                 latent_channels=0))
+    out0 = g0.apply(p0, lr, None)
+    # explorable model with zero-init Z at Z=0
+    g3 = RRDBNet(nb=nb, nf=nf, gc=gc, latent_channels=3)
+    z = jnp.zeros((1, 40, 40, 3))
+    t3 = g3.init(jax.random.PRNGKey(0), lr, z)
+    p3 = align_params_to(t3, convert_esrgan_rrdb(state, nb=nb,
+                                                 latent_channels=3))
+    out3 = g3.apply(p3, lr, z)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(out0),
+                               atol=1e-6)
+    # nonzero Z changes nothing through ZERO Z-weights (they are zeros)
+    out3b = g3.apply(p3, lr, jnp.ones_like(z))
+    np.testing.assert_allclose(np.asarray(out3b), np.asarray(out0),
+                               atol=1e-6)
