@@ -275,19 +275,19 @@ class EditSession:
                 break
             z, theta_new, opt_state, losses = zo.optimize(
                 theta, ITERS_PER_ROUND, opt_state=opt_state,
-                z_mask=z_mask, frozen_theta=frozen, use_min_loss_z=False)
+                z_mask=z_mask, frozen_theta=frozen, use_min_loss_z=False,
+                lr=cur_lr)
             losses_hist.extend(losses.tolist())
             if losses[-1] < best_loss:
                 best_loss, best_theta = float(losses[-1]), theta_new
                 theta = theta_new
             else:
-                # rollback + LR/5 (GUI.py:2065-2075,2131-2134)
+                # rollback + LR/5 (GUI.py:2065-2075,2131-2134); the LR is a
+                # traced arg so this does NOT recompile the edit graph
                 theta = best_theta
                 cur_lr /= LR_DECAY_ON_PLATEAU
                 if cur_lr < 1e-5:
                     break
-                zo = ZOptimizer(forward, loss_fn, lr=cur_lr,
-                                z_range=self.z_range)
                 opt_state = None
             rounds += 1
         eff = (z_mask * best_theta + (1 - z_mask) * frozen

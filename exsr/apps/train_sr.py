@@ -30,6 +30,9 @@ def main(argv=None):
     p.add_argument('--batch', type=int, default=16)
     p.add_argument('--nb', type=int, default=23)
     p.add_argument('--nf', type=int, default=64)
+    p.add_argument('--d_nb', type=int, default=10)
+    p.add_argument('--d_nf', type=int, default=64)
+    p.add_argument('--d_strides', type=int, default=5)
     p.add_argument('--niter', type=int, default=None)
     p.add_argument('--exp_dir', default='experiments/explorable_sr')
     p.add_argument('--val_freq', type=int, default=500)
@@ -66,7 +69,8 @@ def main(argv=None):
     g = RRDBNet(nb=args.nb, nf=args.nf, upscale=cfg.scale,
                 latent_channels=cfg.num_latent_channels)
     d_input = cfg.patch_size - 2 * cem.invalidity_margins_hr
-    d = DiscriminatorVGG128(base_nf=64, nb=10, num_2_strides=5,
+    d = DiscriminatorVGG128(base_nf=args.d_nf, nb=args.d_nb,
+                            num_2_strides=args.d_strides,
                             input_patch_size=d_input)
     lr_patch = cfg.patch_size // cfg.scale
     rng = jax.random.PRNGKey(args.seed)

@@ -65,7 +65,11 @@ class ZOptimizer:
     z_range: float = 1.0
 
     def __post_init__(self):
-        object.__setattr__(self, '_opt', optax.adam(self.lr))
+        # learning rate is a TRACED argument (adam direction scaled at
+        # apply time) so LR decay between rounds reuses the compiled scan —
+        # a rebuild-per-decay would recompile the whole edit graph
+        object.__setattr__(self, '_opt', optax.chain(
+            optax.scale_by_adam(), optax.scale(-1.0)))
         object.__setattr__(self, '_run', jax.jit(
             self._run_impl, static_argnames=('n_steps',)))
 
@@ -77,7 +81,8 @@ class ZOptimizer:
             return theta
         return z_mask * theta + (1.0 - z_mask) * frozen_theta
 
-    def _run_impl(self, theta, opt_state, z_mask, frozen_theta, n_steps):
+    def _run_impl(self, theta, opt_state, z_mask, frozen_theta, lr,
+                  n_steps):
         def loss_of(theta):
             eff = self._effective(theta, z_mask, frozen_theta)
             z = self.z_range * jnp.tanh(eff)
@@ -90,6 +95,7 @@ class ZOptimizer:
             theta, opt_state, best_loss, best_theta = carry
             loss, g = grad_fn(theta)
             updates, opt_state = self._opt.update(g, opt_state)
+            updates = jax.tree.map(lambda u: lr * u, updates)
             new_theta = optax.apply_updates(theta, updates)
             better = loss < best_loss
             best_loss = jnp.where(better, loss, best_loss)
@@ -105,13 +111,16 @@ class ZOptimizer:
     def optimize(self, pre_tanh_z: jnp.ndarray, max_iters: int,
                  opt_state=None, z_mask: jnp.ndarray | None = None,
                  frozen_theta: jnp.ndarray | None = None,
-                 use_min_loss_z: bool = True):
+                 use_min_loss_z: bool = True,
+                 lr: float | None = None):
         """Run the edit loop; returns (z, pre_tanh_z, opt_state, losses).
 
         ``max_iters`` < 0 runs in plateau mode: chunks of |max_iters| steps
         until relative improvement < 1e-2 * lr, capped at 5 chunks
-        (Z_optimization.py:663-670).
+        (Z_optimization.py:663-670).  ``lr`` overrides the constructor LR
+        without recompiling.
         """
+        cur_lr = self.lr if lr is None else lr
         theta = pre_tanh_z
         if opt_state is None:
             opt_state = self.init_state(theta)
@@ -125,7 +134,8 @@ class ZOptimizer:
             chunks, chunk_len = 5, -max_iters
         for c in range(chunks):
             theta, opt_state, best_loss, best_theta, losses = self._run(
-                theta, opt_state, z_mask, frozen_theta, n_steps=chunk_len)
+                theta, opt_state, z_mask, frozen_theta,
+                jnp.float32(cur_lr), n_steps=chunk_len)
             losses = np.asarray(losses)
             all_losses.extend(losses.tolist())
             if float(best_loss) < best[0]:
