@@ -62,6 +62,8 @@ class EditSession:
     time_budget_s: float = DEFAULT_TIME_BUDGET_S
     edit_dtype: object = None     # e.g. jnp.bfloat16: bf16 trunk for edits
     fast_edit: bool = True        # crop includes the margins; skip pre-pad
+    iters_per_round: int = ITERS_PER_ROUND  # loss-check granularity; larger
+    # rounds amortize the per-launch latency (notable through the tunnel)
 
     def __post_init__(self):
         self.cem = CEM.create(CEMConf(scale_factor=self.scale))
@@ -86,16 +88,22 @@ class EditSession:
         self._redo: deque = deque(maxlen=100)
         self.d_apply = None        # optional critic for 'Adversarial'
         self.vgg_apply = None      # optional feature net for 'VGG'
+        # compiled-edit cache: (objective-kind, shapes) -> ZOptimizer whose
+        # data (LR crop, desired, mask) flows through traced obj_args, so
+        # repeated same-shape edits skip recompilation entirely
+        self._zopt_cache: dict = {}
 
     # -------------------------------------------------------------- loading
     def load_params(self, params):
         self.params = params
+        self._zopt_cache.clear()
 
     def init_random_params(self, seed: int = 0):
         lr = jnp.zeros((1, 16, 16, 3))
         z = jnp.zeros((1, 16 * self.scale, 16 * self.scale,
                        self.latent_channels))
         self.params = self.generator.init(jax.random.PRNGKey(seed), lr, z)
+        self._zopt_cache.clear()
 
     def open_image(self, image: np.ndarray, is_hr: bool = True):
         """HR input is consistently downsampled to form the LR working image
@@ -241,9 +249,40 @@ class EditSession:
 
         initial_out = np.asarray(forward(jnp.asarray(
             np.repeat(z_full, b, axis=0))))
-        loss_fn = self._build_objective(objective, data, mask_hr,
-                                        initial_out, forward)
-        zo = ZOptimizer(forward, loss_fn, lr=lr, z_range=self.z_range)
+        # cached-compile fast path for the plain l1/brightness edit (the
+        # GUI's most common loop): LR crop, desired image, and loss mask
+        # flow through traced obj_args, so same-shape edits never recompile
+        obj_args = None
+        name = objective.replace('local_', '')
+        cacheable = (name == 'l1' and 'random' not in objective
+                     and 'scribble' not in objective)
+        if cacheable:
+            obj_args = {
+                'lr': lr_batch,
+                'desired': jnp.asarray(np.asarray(data['desired'],
+                                                  np.float32)),
+                'mask': jnp.asarray(mask_hr[None, :, :, None]
+                                    .astype(np.float32)),
+            }
+            key = ('l1', lr_batch.shape, use_prepad, b)
+            if key not in self._zopt_cache:
+                def forward_a(z, args):
+                    return jnp.clip(self._wrapped(
+                        self.params, args['lr'], z, margins,
+                        pre_pad=use_prepad), 0.0, 1.0)
+
+                def loss_a(out, z, args):
+                    m = args['mask']
+                    return jnp.abs(out * m - args['desired'] * m).mean()
+
+                self._zopt_cache[key] = ZOptimizer(
+                    forward_a, loss_a, lr=lr, z_range=self.z_range)
+            zo = self._zopt_cache[key]
+            loss_fn = None
+        else:
+            loss_fn = self._build_objective(objective, data, mask_hr,
+                                            initial_out, forward)
+            zo = ZOptimizer(forward, loss_fn, lr=lr, z_range=self.z_range)
         theta0 = np.asarray(atanh_init(jnp.asarray(
             np.repeat(z_full, b, axis=0)), self.z_range))
         if b > 1 or 'random' in objective:
@@ -270,13 +309,13 @@ class EditSession:
         rounds = 0
         cur_lr = lr
         while time.time() < deadline:
-            if max_iters is not None and rounds * ITERS_PER_ROUND >= \
-                    max_iters:
+            if max_iters is not None and \
+                    rounds * self.iters_per_round >= max_iters:
                 break
             z, theta_new, opt_state, losses = zo.optimize(
-                theta, ITERS_PER_ROUND, opt_state=opt_state,
+                theta, self.iters_per_round, opt_state=opt_state,
                 z_mask=z_mask, frozen_theta=frozen, use_min_loss_z=False,
-                lr=cur_lr)
+                lr=cur_lr, obj_args=obj_args)
             losses_hist.extend(losses.tolist())
             if losses[-1] < best_loss:
                 best_loss, best_theta = float(losses[-1]), theta_new

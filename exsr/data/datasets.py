@@ -210,6 +210,11 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, num_threads: int = 4, prefetch: int = 4,
                  drop_last: bool = True):
+        if drop_last and len(dataset) < batch_size:
+            raise ValueError(
+                f'dataset has {len(dataset)} items < batch_size '
+                f'{batch_size}: with drop_last every epoch would be empty '
+                f'(the train loop would spin forever)')
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle

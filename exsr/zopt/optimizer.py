@@ -82,12 +82,17 @@ class ZOptimizer:
         return z_mask * theta + (1.0 - z_mask) * frozen_theta
 
     def _run_impl(self, theta, opt_state, z_mask, frozen_theta, lr,
-                  n_steps):
+                  obj_args, n_steps):
         def loss_of(theta):
             eff = self._effective(theta, z_mask, frozen_theta)
             z = self.z_range * jnp.tanh(eff)
-            out = self.forward_fn(z)
-            return self.objective_fn(out, z)
+            if obj_args is None:
+                return self.objective_fn(self.forward_fn(z), z)
+            # edit data (LR crop, desired image, masks) flows through
+            # traced arguments so repeated edits with new data reuse the
+            # compiled scan
+            out = self.forward_fn(z, obj_args)
+            return self.objective_fn(out, z, obj_args)
 
         grad_fn = jax.value_and_grad(loss_of)
 
@@ -112,7 +117,7 @@ class ZOptimizer:
                  opt_state=None, z_mask: jnp.ndarray | None = None,
                  frozen_theta: jnp.ndarray | None = None,
                  use_min_loss_z: bool = True,
-                 lr: float | None = None):
+                 lr: float | None = None, obj_args=None):
         """Run the edit loop; returns (z, pre_tanh_z, opt_state, losses).
 
         ``max_iters`` < 0 runs in plateau mode: chunks of |max_iters| steps
@@ -135,7 +140,7 @@ class ZOptimizer:
         for c in range(chunks):
             theta, opt_state, best_loss, best_theta, losses = self._run(
                 theta, opt_state, z_mask, frozen_theta,
-                jnp.float32(cur_lr), n_steps=chunk_len)
+                jnp.float32(cur_lr), obj_args, n_steps=chunk_len)
             losses = np.asarray(losses)
             all_losses.extend(losses.tolist())
             if float(best_loss) < best[0]:
