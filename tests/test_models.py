@@ -190,3 +190,15 @@ def test_esrgan_converter_zero_z_equivalence():
     out3b = g3.apply(p3, lr, jnp.ones_like(z))
     np.testing.assert_allclose(np.asarray(out3b), np.asarray(out0),
                                atol=1e-6)
+
+
+def test_perceptual_nets_shapes():
+    from exsr.models.perceptual import MINCNet, ResNet101Features
+    x = jnp.zeros((1, 64, 64, 3))
+    m = MINCNet()
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == (1, 4, 4, 512)
+    r = ResNet101Features()
+    v = r.init(jax.random.PRNGKey(0), x)
+    out, _ = r.apply(v, x, train=False, mutable=['batch_stats'])
+    assert out.shape == (1, 2, 2, 2048)
