@@ -69,15 +69,19 @@ class ResidualDenseBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, z):
-        feats = [x]
+        # single concat per conv: z rides at the front of the feature list
+        # (same channel order as cat([z, x, c0, ...]) — one op instead of
+        # two, which matters on op-overhead-bound backends)
+        feats = ([z] if z is not None else []) + [x]
         for i in range(4):
             out = ZConv(self.gc, self.init_scale, dtype=self.dtype,
                         name=f'conv{i}')(
-                jnp.concatenate(feats, axis=-1), z)
+                jnp.concatenate(feats, axis=-1) if len(feats) > 1
+                else feats[0], None)
             feats.append(nn.leaky_relu(out, 0.2))
         out = ZConv(self.nf, self.init_scale, dtype=self.dtype,
                     name='conv4')(
-            jnp.concatenate(feats, axis=-1), z)
+            jnp.concatenate(feats, axis=-1), None)
         return out * 0.2 + x
 
 
@@ -115,6 +119,7 @@ class RRDBNet(nn.Module):
     latent_channels: int = 0
     init_scale: float = 0.1
     dtype: object = None   # compute dtype; jnp.bfloat16 for TPU inference
+    pallas_trunk: bool = False  # fused per-block Pallas kernel (inference)
 
     @nn.compact
     def __call__(self, lr, z_hr=None):
@@ -142,7 +147,21 @@ class RRDBNet(nn.Module):
             in_axes=nn.broadcast,
             length=self.nb,
         )(self.nf, self.gc, self.init_scale, self.dtype, name='trunk')
-        trunk, _ = block(fea, z_lr)
+        if self.pallas_trunk and not self.is_initializing():
+            # fused per-block Pallas kernel: same stacked params, the whole
+            # 48-op block body becomes one device op per block (inference
+            # path; gradients use the flax trunk)
+            from exsr.ops.pallas.rrdb_block import rrdb_block_pallas
+            stacked = block.variables['params']['RRDB_0']
+
+            def body(carry, block_params):
+                out = rrdb_block_pallas(carry, z_lr, block_params,
+                                        nf=self.nf, gc=self.gc)
+                return out, None
+            trunk, _ = jax.lax.scan(body, fea, stacked)
+            _ = block  # params structure still owned by the flax trunk
+        else:
+            trunk, _ = block(fea, z_lr)
         trunk = ZConv(self.nf, self.init_scale, dtype=self.dtype,
                       name='trunk_conv')(trunk, z_lr)
         x = fea + trunk
