@@ -41,16 +41,27 @@ def _rrdb_kernel(nf, gc, nz, h, w, x_ref, z_ref, *refs):
     x0 = x_ref[0]
 
     def conv3x3(ch_in, wk, bias, cout):
-        """9 shifted slice-loads -> MXU matmuls accumulated in fp32."""
+        """9 shifted slice-loads -> MXU matmuls accumulated in fp32.
+
+        The taps run as a fori_loop with dynamic slice starts — 9x smaller
+        Mosaic program than full unrolling (compile time matters: the block
+        has 15 convs)."""
         acc_ref[:, :cout] = jnp.broadcast_to(bias[None, :cout],
                                              (h * w, cout))
-        for ky in range(3):
-            for kx in range(3):
-                tile = feats_ref[ky:ky + h, kx:kx + w, 0:ch_in]
-                acc_ref[:, :cout] += jax.lax.dot_general(
-                    tile.reshape(h * w, ch_in), wk[ky, kx, 0:ch_in, :cout],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+        wk9 = wk[:, :, 0:ch_in, :cout].reshape(9, ch_in, cout)
+
+        def tap(t, _):
+            ky = t // 3
+            kx = t % 3
+            tile = feats_ref[pl.ds(ky, h), pl.ds(kx, w), 0:ch_in]
+            wt = jax.lax.dynamic_index_in_dim(wk9, t, 0, keepdims=False)
+            acc_ref[:, :cout] += jax.lax.dot_general(
+                tile.reshape(h * w, ch_in), wt,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, 9, tap, 0)
         return acc_ref[:, :cout].reshape(h, w, cout)
 
     cur = x0
