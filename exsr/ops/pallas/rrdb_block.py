@@ -29,51 +29,63 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _rrdb_kernel(nf, gc, nz, h, w, x_ref, z_ref, *refs):
-    weights_refs = refs[:30]
-    out_ref = refs[30]
-    feats_ref = refs[31]   # [h+2, w+2, cap] zero-bordered feature buffer
-    acc_ref = refs[32]     # [h*w, nf] fp32 accumulator
+def _make_kernel(n_rdbs, nf, gc, nz, h, w):
+    def kernel(x_ref, z_ref, *refs):
+        return _rrdb_kernel(n_rdbs, nf, gc, nz, h, w, x_ref, z_ref, *refs)
+    return kernel
+
+
+def _rrdb_kernel(n_rdbs, nf, gc, nz, h, w, x_ref, z_ref, *refs):
+    weights_refs = refs[:10 * n_rdbs]
+    out_ref = refs[10 * n_rdbs]
+    feats_ref = refs[10 * n_rdbs + 1]  # [h+2, w+2, cap] zero-bordered buf
+    acc_ref = refs[10 * n_rdbs + 2]    # [h*w, nf] fp32 accumulator
 
     feats_ref[:] = jnp.zeros_like(feats_ref)
     feats_ref[1:h + 1, 1:w + 1, 0:nz] = z_ref[0]
     feats_ref[1:h + 1, 1:w + 1, nz:nz + nf] = x_ref[0]
     x0 = x_ref[0]
 
-    def conv3x3(ch_in, wk, bias, cout):
-        """9 shifted slice-loads -> MXU matmuls accumulated in fp32.
+    def conv3x3(ch_in, wk_ref, bias, cout):
+        """3x3 conv as 3 row-shifted loads x 3 column rolls -> MXU matmuls.
 
-        The taps run as a fori_loop with dynamic slice starts — 9x smaller
-        Mosaic program than full unrolling (compile time matters: the block
-        has 15 convs)."""
+        Row (H) starts may be dynamic (untiled dim); column (W) shifts must
+        be 8-aligned in Mosaic, so the three horizontal taps come from ONE
+        aligned [h, w+2] load via pltpu.roll — the buffer's zero border
+        makes the rolled wrap-around column land outside the kept window."""
         acc_ref[:, :cout] = jnp.broadcast_to(bias[None, :cout],
                                              (h * w, cout))
-        wk9 = wk[:, :, 0:ch_in, :cout].reshape(9, ch_in, cout)
 
-        def tap(t, _):
-            ky = t // 3
-            kx = t % 3
-            tile = feats_ref[pl.ds(ky, h), pl.ds(kx, w), 0:ch_in]
-            wt = jax.lax.dynamic_index_in_dim(wk9, t, 0, keepdims=False)
-            acc_ref[:, :cout] += jax.lax.dot_general(
-                tile.reshape(h * w, ch_in), wt,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        def tap_row(ky, _):
+            row = feats_ref[pl.ds(ky, h), 0:w + 2, 0:ch_in]
+            for dx in range(3):
+                wt = wk_ref[ky, dx, 0:ch_in, 0:cout]
+                # matmul the full (w+2)-wide row, then realize the
+                # horizontal tap by rolling the fp32 RESULT (pltpu.roll is
+                # 32-bit only); the wrapped columns land outside [0:w]
+                y = jax.lax.dot_general(
+                    row.reshape(h * (w + 2), ch_in), wt,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32
+                ).reshape(h, w + 2, cout)
+                if dx > 0:
+                    y = pltpu.roll(y, shift=w + 2 - dx, axis=1)
+                acc_ref[:, :cout] += y[:, 0:w, :].reshape(h * w, cout)
             return 0
 
-        jax.lax.fori_loop(0, 9, tap, 0)
+        jax.lax.fori_loop(0, 3, tap_row, 0)
         return acc_ref[:, :cout].reshape(h, w, cout)
 
     cur = x0
-    for r in range(3):
+    for r in range(n_rdbs):
         # (re)write the image channels for this RDB; borders stay zero
         feats_ref[1:h + 1, 1:w + 1, nz:nz + nf] = cur
         ch = nz + nf
         for i in range(5):
-            wk = weights_refs[2 * (5 * r + i)][:]
+            wk_ref = weights_refs[2 * (5 * r + i)]
             bias = weights_refs[2 * (5 * r + i) + 1][:]
             cout = gc if i < 4 else nf
-            acc = conv3x3(ch, wk, bias, cout)
+            acc = conv3x3(ch, wk_ref, bias, cout)
             if i < 4:
                 feats_ref[1:h + 1, 1:w + 1, ch:ch + gc] = \
                     jax.nn.leaky_relu(acc, 0.2).astype(feats_ref.dtype)
@@ -81,7 +93,10 @@ def _rrdb_kernel(nf, gc, nz, h, w, x_ref, z_ref, *refs):
             else:
                 cur = (acc * 0.2 + cur.astype(jnp.float32)) \
                     .astype(x0.dtype)
-    out_ref[0] = cur * jnp.asarray(0.2, x0.dtype) + x0
+    if n_rdbs == 3:  # full RRDB: outer residual included
+        out_ref[0] = cur * jnp.asarray(0.2, x0.dtype) + x0
+    else:
+        out_ref[0] = cur
 
 
 @functools.partial(jax.jit,
@@ -103,7 +118,7 @@ def rrdb_block_pallas(x: jnp.ndarray, z: jnp.ndarray, params: dict,
             leaf = params[f'rdb{r}'][f'conv{c}']['Conv_0']
             flat.append(jnp.asarray(leaf['kernel'], x.dtype))
             flat.append(jnp.asarray(leaf['bias'], jnp.float32))
-    kernel = functools.partial(_rrdb_kernel, nf, gc, nz, h, w)
+    kernel = _make_kernel(3, nf, gc, nz, h, w)
     img_spec = lambda ch: pl.BlockSpec((1, h, w, ch),
                                        lambda i: (i, 0, 0, 0),
                                        memory_space=pltpu.VMEM)
@@ -128,3 +143,46 @@ def rrdb_block_pallas(x: jnp.ndarray, z: jnp.ndarray, params: dict,
             transcendentals=0),
         interpret=interpret,
     )(x, z, *flat)
+
+
+@functools.partial(jax.jit, static_argnames=('nf', 'gc', 'interpret'))
+def rdb_pallas(x: jnp.ndarray, z: jnp.ndarray, rdb_params: dict,
+               nf: int = 64, gc: int = 32,
+               interpret: bool = False) -> jnp.ndarray:
+    """One fused residual dense block (5 convs) as a single device op —
+    a 3x smaller Mosaic program than the full RRDB kernel (compile-service
+    limits); chain three + the outer residual for a full block."""
+    b, h, w, _ = x.shape
+    nz = z.shape[-1]
+    cap = nz + nf + 4 * gc
+    flat = []
+    for c in range(5):
+        leaf = rdb_params[f'conv{c}']['Conv_0']
+        flat.append(jnp.asarray(leaf['kernel'], x.dtype))
+        flat.append(jnp.asarray(leaf['bias'], jnp.float32))
+    kernel = _make_kernel(1, nf, gc, nz, h, w)
+    img_spec = lambda ch: pl.BlockSpec((1, h, w, ch),
+                                       lambda i: (i, 0, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat]
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[img_spec(x.shape[-1]), img_spec(nz)] + w_specs,
+        out_specs=img_spec(nf),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((h + 2, w + 2, cap), x.dtype),
+            pltpu.VMEM((h * w, nf), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, z, *flat)
+
+
+def rrdb_block_chained(x, z, params, nf=64, gc=32, interpret=False):
+    """Full RRDB block via three single-RDB pallas calls (3 device ops)."""
+    cur = x
+    for r in (1, 2, 3):
+        cur = rdb_pallas(cur, z, params[f'rdb{r}'], nf=nf, gc=gc,
+                         interpret=interpret)
+    return cur * jnp.asarray(0.2, x.dtype) + x
