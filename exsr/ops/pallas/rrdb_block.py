@@ -55,14 +55,13 @@ def _rrdb_kernel(n_rdbs, nf, gc, nz, h, w, x_ref, z_ref, *refs):
         makes the rolled wrap-around column land outside the kept window."""
         acc_ref[:, :cout] = jnp.broadcast_to(bias[None, :cout],
                                              (h * w, cout))
-
-        def tap_row(ky, _):
-            row = feats_ref[pl.ds(ky, h), 0:w + 2, 0:ch_in]
+        # fully static tap unrolling: dynamic-slice loops proved pathological
+        # for the Mosaic compile service; static row starts (untiled dim 0)
+        # are free, horizontal taps come from rolling the fp32 result
+        for ky in range(3):
+            row = feats_ref[ky:ky + h, 0:w + 2, 0:ch_in]
             for dx in range(3):
                 wt = wk_ref[ky, dx, 0:ch_in, 0:cout]
-                # matmul the full (w+2)-wide row, then realize the
-                # horizontal tap by rolling the fp32 RESULT (pltpu.roll is
-                # 32-bit only); the wrapped columns land outside [0:w]
                 y = jax.lax.dot_general(
                     row.reshape(h * (w + 2), ch_in), wt,
                     (((1,), (0,)), ((), ())),
@@ -71,9 +70,6 @@ def _rrdb_kernel(n_rdbs, nf, gc, nz, h, w, x_ref, z_ref, *refs):
                 if dx > 0:
                     y = pltpu.roll(y, shift=w + 2 - dx, axis=1)
                 acc_ref[:, :cout] += y[:, 0:w, :].reshape(h * w, cout)
-            return 0
-
-        jax.lax.fori_loop(0, 3, tap_row, 0)
         return acc_ref[:, :cout].reshape(h, w, cout)
 
     cur = x0
