@@ -110,6 +110,7 @@ def main(argv=None):
         lr = item['lr'][None]
         name = os.path.splitext(os.path.basename(item['path']))[0]
         fwd = forward
+        cem_i = cem
         if kernel_estimator is not None:
             # per-image blind kernel -> rebuild the CEM around it
             # (the reference re-creates the model per image,
@@ -140,7 +141,7 @@ def main(argv=None):
                 crop_border(gt.astype(np.float64), b))
         # LR-consistency: downscale(SR) vs LR input (test.py:218-236)
         down = imresize(outs[0][0].astype(np.float64), 1.0 / args.scale)
-        m = int(cem.invalidity_margins_lr)
+        m = max(int(cem_i.invalidity_margins_lr), 1)
         rec['consistency_mae'] = float(
             np.mean(np.abs(down - item['lr'])[m:-m, m:-m]))
         if args.num_z > 1:

@@ -433,7 +433,6 @@ class EditSession:
                 jnp.asarray(data['desired_Z'], jnp.float32),
                 mask_dev)
         elif name == 'digit':
-            assert self.d_apply is None or True
             classifier = data['classifier_apply']
             ys, xs = np.nonzero(mask > 0)
             bounds = (int(ys.min()), int(xs.min()), int(ys.max()),

@@ -124,9 +124,8 @@ def separable_factors(kernel2d: np.ndarray, tol: float = 1e-10):
         return None
     col = u[:, 0] * np.sqrt(s[0])
     row = vt[0] * np.sqrt(s[0])
-    # fix sign so factors reproduce the kernel with positive center mass
-    if k.sum() > 0 and col.sum() * row.sum() < 0:
-        pass  # impossible for rank-1 with positive sum
+    # canonical sign: both factors non-negative-sum (SVD sign is arbitrary;
+    # flipping both leaves the outer product unchanged)
     if col.sum() < 0 and row.sum() < 0:
         col, row = -col, -row
     if not np.allclose(np.outer(col, row), k,
