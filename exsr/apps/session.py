@@ -281,7 +281,10 @@ class EditSession:
             loss_fn = None
         else:
             loss_fn = self._build_objective(objective, data, mask_hr,
-                                            initial_out, forward)
+                                            initial_out, forward,
+                                            z0=jnp.asarray(
+                                                np.repeat(z_full, b,
+                                                          axis=0)))
             zo = ZOptimizer(forward, loss_fn, lr=lr, z_range=self.z_range)
         theta0 = np.asarray(atanh_init(jnp.asarray(
             np.repeat(z_full, b, axis=0)), self.z_range))
@@ -347,7 +350,7 @@ class EditSession:
 
     # ------------------------------------------------- objective dispatcher
     def _build_objective(self, objective: str, data: dict, mask_hr,
-                         initial_out, forward) -> Callable:
+                         initial_out, forward, z0=None) -> Callable:
         local = 'local' in objective
         mask = mask_hr.astype(np.float32)
         helpers = obj.STDHelpers.create(
@@ -409,12 +412,27 @@ class EditSession:
         elif 'TV' in name:
             loss = obj.tv_objective(helpers, initial_std)
         elif 'hist' in name or 'dict' in name:
+            temperature = 5e-4 if 'hist' in name else 1e-3
+            if data.get('auto_temperature') and 'hist' in name:
+                # gradient-based calibration on a patch_size-3 probe loss
+                # at the default 0.05 start (Z_optimization.py:519-536)
+                cal = SoftHistogramLoss.create(
+                    desired_images=[np.asarray(d)
+                                    for d in data['desired']],
+                    desired_masks=data.get('desired_masks'),
+                    input_mask=mask,
+                    patch_size=3 if 'patch' in name else 1,
+                    temperature=0.05)
+                theta0 = atanh_init(z0, self.z_range)
+                temperature = cal.auto_temperature(
+                    lambda th: forward(self.z_range * jnp.tanh(th)),
+                    theta0)
             shl = SoftHistogramLoss.create(
                 desired_images=[np.asarray(d) for d in data['desired']],
                 desired_masks=data.get('desired_masks'),
                 input_mask=mask,
                 patch_size=6 if 'patch' in name else 1,
-                temperature=5e-4 if 'hist' in name else 1e-3,
+                temperature=temperature,
                 dictionary_not_histogram='dict' in name,
                 no_patch_dc='noDC' in name,
                 no_patch_std='no_localSTD' in name)

@@ -13,7 +13,11 @@ Reference: SoftHistogramLoss (Z_optimization.py:24-230).  Faithful pieces:
   * patch mode (patch_size 6, 50% overlap on the input mask, full-but-one
     overlap on the desired mask) with optional per-patch DC/STD removal
     (:54-69,177-182);
-  * binary-search temperature calibration (TemperatureSearch, :134-168).
+  * binary-search temperature calibration (TemperatureSearch, :134-168);
+  * gradient-based auto-temperature (Optimizable_Temperature + the
+    automatic_temperature branch, :14-22,211-231,513-536): Adam on
+    log-temperature maximizing the norm of dKL/d(pre-tanh Z), here one
+    jitted ``lax.scan`` over the double-grad objective.
 
 The sparse patch-extraction matmuls become dense index gathers
 (exsr.zopt.patches).
@@ -110,6 +114,7 @@ class SoftHistogramLoss:
     no_patch_dc: bool
     no_patch_std: bool
     mean_patches_std: float | None
+    desired_vals: jnp.ndarray | None = None  # [num_dims, N] target samples
 
     @classmethod
     def create(cls, desired_images: list[np.ndarray],
@@ -179,7 +184,8 @@ class SoftHistogramLoss:
                    input_indices=input_indices,
                    input_mask_flat=input_mask_flat, patch_size=patch_size,
                    no_patch_dc=no_patch_dc, no_patch_std=no_patch_std,
-                   mean_patches_std=mean_patches_std)
+                   mean_patches_std=mean_patches_std,
+                   desired_vals=jnp.asarray(desired_vals, jnp.float32))
 
     def _image_values(self, image: jnp.ndarray) -> jnp.ndarray:
         """One image [H, W, C] -> [num_dims, N] values for the histogram."""
@@ -224,10 +230,14 @@ class SoftHistogramLoss:
             t = float(np.exp((lo + hi) / 2))
             if not np.isfinite(t) or t == 0:
                 break
+            # the reference recomputes the DESIRED histogram (and its
+            # normalizer) at every candidate temperature
+            # (TemperatureSearch, Z_optimization.py:147-148)
+            dh, norm = self.hist.histogram(self.desired_vals,
+                                           temperature=t)
             vals = self._image_values(initial_image)
-            h, _ = self.hist.histogram(vals, self.hist.normalizer,
-                                       temperature=t)
-            kl = float(kl_div(jnp.log(h + 1e-12), self.desired_hist))
+            h, _ = self.hist.histogram(vals, norm, temperature=t)
+            kl = float(kl_div(jnp.log(h + 1e-12), dh))
             too_big = kl > desired_kl
             if kl > 0 and abs(np.log(kl / desired_kl)) <= np.log(
                     1 + tolerance):
@@ -248,3 +258,58 @@ class SoftHistogramLoss:
                 else:
                     hi = np.log(t)
         return float(self.hist.temperature)
+
+    def auto_temperature(self, image_of_theta, theta0: jnp.ndarray,
+                         n_iters: int = 50, lr: float = 0.5) -> float:
+        """Gradient-based temperature calibration (Optimizable_Temperature
+        + the automatic_temperature branches, Z_optimization.py:14-22,
+        211-231,513-536).
+
+        Maximizes ``||d KL(hist(G(theta)), hist(desired)) / d theta||_2``
+        over log-temperature with Adam (lr 0.5, 50 iters), both histograms
+        recomputed at the candidate temperature; returns the temperature
+        that attained the largest gradient along the trajectory
+        (:535-536).  ``image_of_theta`` maps pre-tanh Z to the clipped HR
+        output batch; the whole search is one ``lax.scan`` over a
+        grad-of-grad objective — a single compiled device program instead
+        of the reference's 50 Python-level backward passes.
+        """
+        assert not self.hist.dictionary, 'unsupported for dictionary'
+        import optax
+
+        def neg_grad_norm(log_t):
+            t = jnp.exp(log_t)
+            dh, norm = self.hist.histogram(self.desired_vals,
+                                           temperature=t)
+
+            def kl_of(theta):
+                out = image_of_theta(theta)
+                losses = []
+                for i in range(out.shape[0]):
+                    vals = self._image_values(out[i])
+                    h, _ = self.hist.histogram(vals, norm, temperature=t)
+                    losses.append(kl_div(
+                        jnp.log(h + jnp.finfo(h.dtype).eps), dh))
+                return jnp.stack(losses).mean()
+
+            g = jax.grad(kl_of)(theta0)
+            return -jnp.sqrt((g.astype(jnp.float32) ** 2).sum())
+
+        tx = optax.adam(lr)
+        log_t0 = jnp.asarray(np.log(self.hist.temperature), jnp.float32)
+
+        def step(carry, _):
+            log_t, opt, best_val, best_log_t = carry
+            val, g = jax.value_and_grad(neg_grad_norm)(log_t)
+            better = val < best_val
+            best_val = jnp.where(better, val, best_val)
+            best_log_t = jnp.where(better, log_t, best_log_t)
+            upd, opt = tx.update(g, opt)
+            return (optax.apply_updates(log_t, upd), opt, best_val,
+                    best_log_t), None
+
+        carry0 = (log_t0, tx.init(log_t0), jnp.asarray(jnp.inf, jnp.float32),
+                  log_t0)
+        (_, _, _, best_log_t), _ = jax.lax.scan(step, carry0, None,
+                                                length=n_iters)
+        return float(np.exp(best_log_t))

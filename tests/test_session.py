@@ -102,3 +102,19 @@ def test_imprint_location_search(session):
     y, x = res['position']
     assert 10 <= y <= 80 and 10 <= x <= 80
     assert np.isfinite(res['consistency_error'])
+
+
+def test_hist_objective_auto_temperature(session):
+    mask = np.zeros((96, 96), np.float32)
+    mask[16:80, 16:80] = 1.0
+    session.set_region(mask)
+    rng = np.random.default_rng(7)
+    desired = rng.uniform(size=(96, 96, 3)).astype(np.float32)
+    res = session.optimize(
+        'hist',
+        data={'desired': [desired], 'desired_masks': [mask],
+              'auto_temperature': True},
+        max_iters=5, time_budget_s=60.0)
+    assert np.isfinite(res['final_loss'])
+    session.clear_region()
+    session.undo()

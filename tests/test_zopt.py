@@ -159,3 +159,47 @@ def test_atanh_init_round_trip():
     theta = atanh_init(z, 1.0)
     np.testing.assert_allclose(np.asarray(jnp.tanh(theta)),
                                np.asarray(z), atol=1e-6)
+
+
+def test_auto_temperature_maximizes_gradient_norm():
+    """The gradient-searched temperature should attain a dKL/dtheta norm at
+    least as large as the 0.05 starting temperature's (the argmax-tracking
+    guarantees this by construction — Z_optimization.py:535-536)."""
+    import jax
+    from exsr.zopt.histogram import kl_div
+
+    rng = np.random.default_rng(4)
+    im = rng.uniform(size=(16, 16, 3)).astype(np.float32)
+    mask = np.ones((16, 16), np.float32)
+    shl = SoftHistogramLoss.create([im], [mask], mask, temperature=0.05)
+    theta0 = jnp.asarray(rng.normal(size=(1, 16, 16, 3))
+                         .astype(np.float32)) * 0.1
+
+    def image_of_theta(th):
+        return jnp.tanh(th) * 0.5 + 0.5
+
+    t_auto = shl.auto_temperature(image_of_theta, theta0, n_iters=20)
+    assert np.isfinite(t_auto) and t_auto > 0
+
+    def gnorm(t):
+        dh, norm = shl.hist.histogram(shl.desired_vals, temperature=t)
+
+        def kl_of(th):
+            vals = shl._image_values(image_of_theta(th)[0])
+            h, _ = shl.hist.histogram(vals, norm, temperature=t)
+            return kl_div(jnp.log(h + 1e-12), dh)
+
+        return float(jnp.linalg.norm(jax.grad(kl_of)(theta0)))
+
+    assert gnorm(t_auto) >= gnorm(0.05) * (1 - 1e-5)
+
+
+def test_calibrate_temperature_recomputes_desired_hist():
+    rng = np.random.default_rng(5)
+    im = rng.uniform(size=(16, 16, 3)).astype(np.float32)
+    mask = np.ones((16, 16), np.float32)
+    shl = SoftHistogramLoss.create([im], [mask], mask, temperature=0.05)
+    other = jnp.asarray(rng.uniform(size=(16, 16, 3))
+                        .astype(np.float32))
+    t = shl.calibrate_temperature(other, desired_kl=1.0)
+    assert np.isfinite(t) and t > 0
