@@ -202,3 +202,46 @@ def test_perceptual_nets_shapes():
     v = r.init(jax.random.PRNGKey(0), x)
     out, _ = r.apply(v, x, train=False, mutable=['batch_stats'])
     assert out.shape == (1, 2, 2, 2048)
+
+
+def test_segnet_encoder_and_autoencoder():
+    import jax
+    from exsr.models.encoders import SegNet, max_pool_argmax, max_unpool
+
+    x = jnp.asarray(np.random.default_rng(0)
+                    .uniform(size=(1, 64, 64, 3)).astype(np.float32))
+    # pool/unpool round trip: the max of each 2x2 cell returns to its
+    # argmax position
+    pooled, sel = max_pool_argmax(x)
+    up = max_unpool(pooled, sel)
+    assert up.shape == x.shape
+    nz = np.asarray(up != 0)
+    assert nz.sum() == pooled.size
+    np.testing.assert_allclose(np.asarray(up).max(), np.asarray(x).max())
+
+    enc = SegNet(encode_only=True, num_layers=4, batch_norm_ds=False)
+    v = enc.init(jax.random.PRNGKey(0), x)
+    feats = enc.apply(v, x)
+    assert feats.shape == (1, 4, 4, 512)
+
+    ae = SegNet(num_layers=5)
+    v = ae.init(jax.random.PRNGKey(0), x)
+    recon = ae.apply(v, x)
+    assert recon.shape == (1, 64, 64, 3)
+
+
+def test_eresnet_encoder():
+    import jax
+    from exsr.models.encoders import EResNet
+
+    x = jnp.asarray(np.random.default_rng(1)
+                    .uniform(size=(2, 128, 128, 3)).astype(np.float32))
+    m = EResNet(output_nc=8)
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == (2, 8)
+
+    mv = EResNet(output_nc=8, vae_like=True)
+    v = mv.init(jax.random.PRNGKey(0), x)
+    mu, logvar = mv.apply(v, x)
+    assert mu.shape == logvar.shape == (2, 8)
