@@ -35,21 +35,36 @@ class VGG19Features(nn.Module):
     """
     num_convs: int = 16
     use_input_norm: bool = True
+    # what the cut index landed on in torchvision's ``features`` layout:
+    # 'conv' (stop pre-ReLU, the VGG19-54 standard), 'relu' (keep the last
+    # conv's ReLU), or 'pool' (keep through the following maxpool)
+    trailing: str = 'conv'
 
     @nn.compact
     def __call__(self, x):
         if self.use_input_norm:
             x = (x - IMAGENET_MEAN) / IMAGENET_STD
         conv_idx = 0
+        done = False
         for item in VGG19_CFG:
             if item == 'M':
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                if done:  # trailing == 'pool'
+                    return x
                 continue
+            if done:
+                return x
             x = nn.Conv(item, (3, 3), padding='SAME',
                         name=f'conv{conv_idx}')(x)
             conv_idx += 1
             if conv_idx == self.num_convs:
-                return x  # stop BEFORE this conv's ReLU (VGG19-54)
+                if self.trailing == 'conv':
+                    return x  # stop BEFORE this conv's ReLU (VGG19-54)
+                x = nn.relu(x)
+                if self.trailing == 'relu':
+                    return x
+                done = True   # 'pool': run until the next maxpool
+                continue
             x = nn.relu(x)
         return x
 

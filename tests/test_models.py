@@ -245,3 +245,24 @@ def test_eresnet_encoder():
     v = mv.init(jax.random.PRNGKey(0), x)
     mu, logvar = mv.apply(v, x)
     assert mu.shape == logvar.shape == (2, 8)
+
+
+def test_feature_extractor_factory():
+    import jax
+    from exsr.models.factory import make_feature_extractor
+
+    x = jnp.asarray(np.random.default_rng(2)
+                    .uniform(size=(1, 64, 64, 3)).astype(np.float32))
+    # (arch, expected shape, sign of min: conv cut keeps pre-ReLU negatives)
+    cases = [('vgg19', (1, 4, 4, 512), True),
+             ('vgg19_8', (1, 32, 32, 128), False),   # relu cut
+             ('vgg19_9', (1, 16, 16, 128), False),   # pool cut
+             ('SegNetAE', (1, 4, 4, 512), False)]
+    for arch, shape, has_neg in cases:
+        mod, apply = make_feature_extractor(arch)
+        v = mod.init(jax.random.PRNGKey(0), x)
+        f = apply(v, x)
+        assert f.shape == shape, (arch, f.shape)
+        assert (float(f.min()) < 0) == has_neg, arch
+    with pytest.raises(ValueError):
+        make_feature_extractor('alexnet')
