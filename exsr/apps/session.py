@@ -159,6 +159,38 @@ class EditSession:
     def clear_region(self):
         self.region_mask_hr = np.ones_like(self.region_mask_hr)
 
+    def estimate_periodicity(self, origin_yx, points_yx):
+        """Autocorrelation-based cycle-length estimation for the periodicity
+        tool (GUI.py:482-545, AUTO_CYCLE_LENGTH_4_PERIODICITY).
+
+        For each clicked direction point, the current SR image's gray
+        values are sampled bilinearly along origin->point in ~0.1-px steps;
+        the mean-subtracted overlap-normalized autocorrelation's first peak
+        (value > 1e-3) gives the cycle length, and the direction vector is
+        rescaled to it.  Returns the (y, x) periodicity vectors to pass as
+        ``data['periodicity_points']`` to :meth:`optimize`.
+        """
+        from exsr.utils.misc import (bilinear_sample_line,
+                                     first_autocorr_peak,
+                                     overlap_normalized_autocorr)
+        img = np.asarray(self.sr[0]).mean(-1)
+        origin = np.asarray(origin_yx, np.float64)
+        out = []
+        for p in points_yx:
+            p = np.asarray(p, np.float64)
+            vec = p - origin
+            n = int(np.abs(vec).max() / 0.1)
+            vals = bilinear_sample_line(img, origin[0], origin[1],
+                                        p[0], p[1], n)
+            peak = first_autocorr_peak(overlap_normalized_autocorr(vals))
+            cur = vec
+            if peak is not None:
+                length = float(np.linalg.norm(vec))
+                cycle = length / n * peak
+                cur = vec / length * cycle
+            out.append(cur)
+        return out
+
     def set_uniform_z(self, values):
         """Constant Z over the selected region (GUI.py:2158-2191)."""
         self._push_history()

@@ -64,3 +64,40 @@ def min_outliers_threshold(scores: np.ndarray, labels: np.ndarray) -> float:
     errors = (pos_cum + ((lab < 0).sum() - neg_cum))
     i = int(np.argmin(errors))
     return float(s[i]) if i < len(s) - 1 else float(s[-1])
+
+
+def overlap_normalized_autocorr(x: np.ndarray) -> np.ndarray:
+    """Mean-subtracted full autocorrelation divided by the per-lag overlap
+    count, positive lags only (GUI.py:506-512)."""
+    x = np.asarray(x, np.float64) - np.mean(x)
+    result = np.correlate(x, x, mode='full')
+    normalizer = np.arange(1, x.size + 1)
+    normalizer = np.concatenate([normalizer, normalizer[-2::-1]])
+    return (result / normalizer)[x.size:]
+
+
+def first_autocorr_peak(ac: np.ndarray, min_value: float = 1e-3):
+    """Index of the first local autocorrelation maximum above ``min_value``
+    (scipy.signal.find_peaks semantics for the simple no-options call used
+    at GUI.py:521-526), or None."""
+    for i in range(1, len(ac) - 1):
+        if ac[i] > ac[i - 1] and ac[i] > ac[i + 1] and ac[i] > min_value:
+            return i
+    return None
+
+
+def bilinear_sample_line(img: np.ndarray, y0: float, x0: float,
+                         y1: float, x1: float, n: int) -> np.ndarray:
+    """Sample a grayscale image bilinearly at n points along a segment."""
+    ys = np.linspace(y0, y1, n)
+    xs = np.linspace(x0, x1, n)
+    h, w = img.shape
+    yc = np.clip(ys, 0, h - 1)
+    xc = np.clip(xs, 0, w - 1)
+    iy = np.clip(np.floor(yc).astype(int), 0, h - 2)
+    ix = np.clip(np.floor(xc).astype(int), 0, w - 2)
+    fy, fx = yc - iy, xc - ix
+    return ((1 - fy) * (1 - fx) * img[iy, ix]
+            + (1 - fy) * fx * img[iy, ix + 1]
+            + fy * (1 - fx) * img[iy + 1, ix]
+            + fy * fx * img[iy + 1, ix + 1])

@@ -118,3 +118,16 @@ def test_hist_objective_auto_temperature(session):
     assert np.isfinite(res['final_loss'])
     session.clear_region()
     session.undo()
+
+
+def test_estimate_periodicity_sinusoid():
+    """A synthetic vertical sinusoid with a 12-px period: the estimator
+    should shrink a 40-px direction vector down to ~12 px."""
+    s = EditSession.__new__(EditSession)  # bypass model init; only .sr used
+    yy = np.arange(96)[:, None] * np.ones((1, 96))
+    img = 0.5 + 0.4 * np.sin(2 * np.pi * yy / 12.0)
+    s.sr = np.repeat(img[None, :, :, None], 3, axis=-1).astype(np.float32)
+    (vec,) = s.estimate_periodicity((10.0, 48.0), [(50.0, 48.0)])
+    assert abs(np.linalg.norm(vec) - 12.0) < 1.0, vec
+    # direction preserved (pure +y)
+    assert abs(vec[1]) < 1e-6 and vec[0] > 0
