@@ -151,6 +151,94 @@ class JPEGEditSession:
         self.cur_z = (1 - m) * self.cur_z + m * z64
         return self.recompute()
 
+    def find_optimal_imprint_mask(self, desired_image_y: np.ndarray,
+                                  desired_mask: np.ndarray, rect,
+                                  top_left, target_dims):
+        """JPEG imprint border fine-tuning
+        (GUI.Find_Optimal_Desired_Imprint_Mask, GUI.py:963-1048).
+
+        Coarse-to-fine search over shifts of the source rectangle
+        ``rect = [x, y, w, h]`` in the desired Y image ([0, 255]): each
+        candidate crop (+ its mask) is resized to ``target_dims`` (h, w),
+        composited onto the current Y image at ``top_left`` (y, x), and
+        scored by its out-of-quantization-bin DCT mass
+        ``sum(max(0, |c - c_fixed| - 0.5))`` — the JPEG-consistency
+        violation the imprint would force.  Stage 1 enumerates offsets
+        -7..8 step 3 per coordinate and keeps the best 10; stage 2 refines
+        with offsets -1..1.  Returns ``(best_rect, refined_mask)`` where
+        ``refined_mask`` is the original rectangle's mask resized into the
+        winning rectangle (GUI.py:1042-1047).
+        """
+        assert self.y_image is not None, 'open an image first'
+        fixed = np.asarray(self.y_image[0, :, :, 0])
+        from exsr.utils.misc import (resize_categorical_image,
+                                     resize_scribble_image)
+        fixed_coeffs = self.codec.compress(self.y_image, self._qf_arr(),
+                                           quantize=True)
+        ty, tx = top_left
+        th, tw = target_dims
+        orig_rect = np.asarray(rect, int)
+        rect_mask_mean = float(desired_mask[
+            rect[1]:rect[1] + rect[3], rect[0]:rect[0] + rect[2]].mean())
+        min_overlap = 0.5 * rect_mask_mean
+
+        def score(cands):
+            imprints = []
+            for c in cands:
+                crop = resize_scribble_image(
+                    desired_image_y[c[1]:c[1] + c[3], c[0]:c[0] + c[2]],
+                    (th, tw))
+                m = resize_categorical_image(
+                    desired_mask[c[1]:c[1] + c[3], c[0]:c[0] + c[2]]
+                    .astype(np.uint8), (th, tw), inclusive=True)
+                comp = fixed.copy()
+                comp[ty:ty + th, tx:tx + tw] = \
+                    crop * m + comp[ty:ty + th, tx:tx + tw] * (1 - m)
+                imprints.append(comp)
+            # chunked like the reference's memory-backoff loop
+            # (GUI.py:1019-1031), but bounded up front
+            scores = []
+            for i in range(0, len(imprints), 128):
+                chunk = np.stack(imprints[i:i + 128])[..., None]
+                coeffs = self.codec.compress(
+                    jnp.asarray(chunk),
+                    jnp.broadcast_to(self._qf_arr(), (chunk.shape[0],)),
+                    quantize=False)
+                viol = jnp.maximum(0.0,
+                                   jnp.abs(coeffs - fixed_coeffs) - 0.5)
+                scores.append(np.asarray(viol.sum(axis=(1, 2, 3))))
+            return np.concatenate(scores)
+
+        h_im, w_im = desired_image_y.shape[:2]
+        rects = [orig_rect]
+        for offsets, keep in ((range(-7, 9, 3), 10), ((-1, 0, 1), 1)):
+            cands = []
+            for r in rects:
+                for dx in offsets:
+                    for dy in offsets:
+                        for dw in offsets:
+                            for dh in offsets:
+                                c = r + np.asarray([dx, dy, dw, dh])
+                                if (c[:2] >= 0).all() and (c[2:] >= 4).all()\
+                                        and c[0] + c[2] <= w_im \
+                                        and c[1] + c[3] <= h_im:
+                                    cands.append(c)
+            cands = [c for c in cands if desired_mask[
+                c[1]:c[1] + c[3], c[0]:c[0] + c[2]].mean() >= min_overlap]
+            uniq = {tuple(c): c for c in cands}
+            cands = list(uniq.values())
+            order = np.argsort(score(cands))
+            rects = [cands[i] for i in order[:keep]]
+        best = rects[0]
+        orig_mask = desired_mask[
+            orig_rect[1]:orig_rect[1] + orig_rect[3],
+            orig_rect[0]:orig_rect[0] + orig_rect[2]].astype(np.uint8)
+        refined = np.zeros_like(desired_mask)
+        refined[best[1]:best[1] + best[3], best[0]:best[0] + best[2]] = \
+            resize_categorical_image(orig_mask, (best[3], best[2]),
+                                     inclusive=True)
+        return best, refined
+
     def optimize(self, objective: str, data: dict | None = None,
                  max_iters: int = 25, lr: float = 0.1):
         """Gradient Z edit in the DCT-latent space."""

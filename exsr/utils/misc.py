@@ -101,3 +101,37 @@ def bilinear_sample_line(img: np.ndarray, y0: float, x0: float,
             + (1 - fy) * fx * img[iy, ix + 1]
             + fy * (1 - fx) * img[iy + 1, ix]
             + fy * fx * img[iy + 1, ix + 1])
+
+
+def resize_scribble_image(image: np.ndarray, dsize) -> np.ndarray:
+    """Continuous-valued resize to (h, w) — ResizeScribbleImage
+    (utils/util.py:310-316, INTER_AREA): antialiased linear resampling."""
+    if tuple(image.shape[:2]) == tuple(dsize):
+        return image
+    import jax
+    shape = tuple(dsize) + tuple(image.shape[2:])
+    return np.asarray(jax.image.resize(image.astype(np.float32), shape,
+                                       'linear', antialias=True))
+
+
+def resize_categorical_image(image: np.ndarray, dsize,
+                             inclusive: bool = False) -> np.ndarray:
+    """Categorical (mask/label) resize — ResizeCategorialImage
+    (utils/util.py:293-308): per-category linear resampling with
+    thresholding; ``inclusive`` marks every partly-touched pixel ON; lower
+    categories overrule higher ones on overlap."""
+    assert np.issubdtype(image.dtype, np.integer), 'non-categorical input'
+    if tuple(image.shape[:2]) == tuple(dsize):
+        return image
+    import jax
+    out = np.zeros(tuple(dsize), image.dtype)
+    cats = sorted(set(image.reshape(-1).tolist()))[::-1]
+    if inclusive:
+        cats = [c for c in cats if c != 0]
+    for c in cats:
+        r = np.asarray(jax.image.resize(
+            (image == c).astype(np.float32), tuple(dsize), 'linear',
+            antialias=False))
+        m = r > (0.0 if inclusive else 0.5)
+        out = np.where(m, np.asarray(c, image.dtype), out)
+    return out

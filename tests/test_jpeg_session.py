@@ -48,3 +48,32 @@ def test_open_real_coefficients(jsession):
     out = jsession.open_coefficients(coeffs, LUMA_Q_TABLE.astype(float))
     assert out.shape == (1, 64, 64, 1)
     assert 49 < jsession.qf < 51  # the base table corresponds to QF 50
+
+
+def test_find_optimal_imprint_mask():
+    import numpy as np
+    from exsr.apps.jpeg_session import JPEGEditSession
+
+    s = JPEGEditSession(nf=32, nb=3, qf=20)
+    s.init_random_params(0)
+    rng = np.random.default_rng(0)
+    s.open_image(rng.uniform(size=(96, 96, 3)).astype(np.float32))
+    des = np.zeros((64, 64), np.float32)
+    des[20:44, 20:44] = 220.0
+    mask = np.zeros((64, 64), np.float32)
+    mask[20:44, 20:44] = 1.0
+    rect = [18, 18, 28, 28]
+    best, refined = s.find_optimal_imprint_mask(
+        des, mask, rect, top_left=(32, 32), target_dims=(24, 24))
+    # in-bounds, >= 4px sides, overlap constraint respected
+    assert (best[:2] >= 0).all() and (best[2:] >= 4).all()
+    assert best[0] + best[2] <= 64 and best[1] + best[3] <= 64
+    win = mask[best[1]:best[1] + best[3], best[0]:best[0] + best[2]]
+    rect_mask_mean = mask[rect[1]:rect[1] + rect[3],
+                          rect[0]:rect[0] + rect[2]].mean()
+    assert win.mean() >= 0.5 * rect_mask_mean - 1e-6
+    # refined mask confined to the winning rectangle and non-empty
+    assert refined.sum() > 0
+    outside = refined.copy()
+    outside[best[1]:best[1] + best[3], best[0]:best[0] + best[2]] = 0
+    assert outside.sum() == 0
