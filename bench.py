@@ -1,7 +1,13 @@
 """Headline benchmark: 4x SR throughput on 128x128 LR inputs (img/s/chip).
 
 Baseline target (BASELINE.md): > 200 img/s/chip on TPU v5e with the full
-23-block CEM-wrapped explorable generator.  Prints ONE JSON line.
+23-block CEM-wrapped explorable generator.  Prints ONE JSON line (the best
+batch point), preceded by the batch->throughput curve on stderr.
+
+Uses the grouped-conv inference path (exsr/models/rrdb_fast.py): identical
+math to the canonical RRDBNet (tests/test_rrdb_fast.py) restructured so
+each residual-dense block runs five wide-output convs instead of five
+32-wide ones — ~1.5x end-to-end on the v5e MXU.
 
 Measurement note: on the axon-tunneled platform ``block_until_ready`` does
 not reliably synchronize with device execution, so the timed region chains
@@ -11,6 +17,7 @@ time provably covers all N executions.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 
@@ -19,44 +26,65 @@ def main():
     import jax.numpy as jnp
     from exsr.cem.cem import CEM, CEMConf, cem_wrap
     from exsr.models.rrdb import RRDBNet
+    from exsr.models.rrdb_fast import (pack_grouped_params,
+                                       rrdbnet_apply_fast)
 
-    BATCH = 8
     LR_SIZE = 128
     SCALE = 4
-    N_ITERS = 10
+    N_ITERS = 8
 
     cem = CEM.create(CEMConf(scale_factor=SCALE))
     filt = cem.device_filters(3)  # separable 1-D CEM filter chain
-    # bf16 trunk (params fp32): the CEM chain downstream stays fp32, so the
-    # consistency guarantee is unaffected by the generator's compute dtype
-    g = RRDBNet(nb=23, latent_channels=3, dtype=jnp.bfloat16)
-    lr = jnp.zeros((BATCH, LR_SIZE, LR_SIZE, 3), jnp.float32)
-    z = jnp.zeros((BATCH, LR_SIZE * SCALE, LR_SIZE * SCALE, 3), jnp.float32)
-    params = g.init(jax.random.PRNGKey(0), lr[:1], z[:1])
-    wrapped = cem_wrap(lambda p, x, zz: g.apply(p, x, zz), filt,
-                       upscale=SCALE)
+    g = RRDBNet(nb=23, latent_channels=3)
+    lr1 = jnp.zeros((1, LR_SIZE, LR_SIZE, 3), jnp.float32)
+    z1 = jnp.zeros((1, LR_SIZE * SCALE, LR_SIZE * SCALE, 3), jnp.float32)
+    params = g.init(jax.random.PRNGKey(0), lr1, z1)
+    packed = pack_grouped_params(params)
 
-    @jax.jit
-    def run_n(params, lr, z):
-        def body(carry, _):
-            out = jnp.clip(wrapped(params, lr + 0.0 * carry, z,
-                                   cem.invalidity_margins_lr,
-                                   pre_pad=False), 0.0, 1.0)
-            return out.mean(), None
-        final, _ = jax.lax.scan(body, jnp.float32(0.0), None,
-                                length=N_ITERS)
-        return final
+    # bf16 trunk (params cast on the fly): the CEM chain downstream stays
+    # fp32, so the consistency guarantee is unaffected by compute dtype
+    def g_apply(pk, x, zz):
+        return rrdbnet_apply_fast(None, x, zz, packed=pk,
+                                  dtype=jnp.bfloat16)
 
-    float(run_n(params, lr, z))  # compile + warm
-    t0 = time.perf_counter()
-    float(run_n(params, lr, z))  # dependent-scalar fetch = true sync
-    dt = time.perf_counter() - t0
-    imgs_per_s = BATCH * N_ITERS / dt
+    wrapped = cem_wrap(g_apply, filt, upscale=SCALE)
+
+    best = None
+    for batch in (8, 16, 32, 64):
+        lr = jnp.zeros((batch, LR_SIZE, LR_SIZE, 3), jnp.float32)
+        z = jnp.zeros((batch, LR_SIZE * SCALE, LR_SIZE * SCALE, 3),
+                      jnp.float32)
+
+        @jax.jit
+        def run_n(pk, lr, z):
+            def body(carry, _):
+                out = jnp.clip(wrapped(pk, lr + 0.0 * carry, z,
+                                       cem.invalidity_margins_lr,
+                                       pre_pad=False), 0.0, 1.0)
+                return out.mean(), None
+            final, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                    length=N_ITERS)
+            return final
+
+        try:
+            float(run_n(packed, lr, z))  # compile + warm
+            t0 = time.perf_counter()
+            float(run_n(packed, lr, z))  # dependent-scalar fetch = sync
+            dt = time.perf_counter() - t0
+        except Exception as e:  # OOM at large batch: stop the sweep
+            print(f'batch {batch}: {type(e).__name__}', file=sys.stderr)
+            break
+        imgs = batch * N_ITERS / dt
+        print(f'batch {batch}: {imgs:.1f} img/s '
+              f'({1000 * dt / N_ITERS:.1f} ms/fwd)', file=sys.stderr)
+        if best is None or imgs > best[1]:
+            best = (batch, imgs)
+
     print(json.dumps({
         'metric': 'sr4x_throughput_128px',
-        'value': round(imgs_per_s, 2),
+        'value': round(best[1], 2),
         'unit': 'img/s/chip',
-        'vs_baseline': round(imgs_per_s / 200.0, 3),
+        'vs_baseline': round(best[1] / 200.0, 3),
     }))
 
 

@@ -66,19 +66,13 @@ class EditSession:
     # rounds amortize the per-launch latency (notable through the tunnel)
 
     def __post_init__(self):
-        self.cem = CEM.create(CEMConf(scale_factor=self.scale))
-        self.filters = self.cem.device_filters(3)
+        self._build_cem(None)
         from exsr.models.rrdb import RRDBNet
         self.generator = RRDBNet(nb=self.nb, upscale=self.scale,
                                  latent_channels=self.latent_channels,
                                  dtype=self.edit_dtype)
         self.params = None
-        self._wrapped = cem_wrap(
-            lambda p, x, z: self.generator.apply(p, x, z), self.filters,
-            upscale=self.scale)
-        self._fwd = jax.jit(lambda p, lr, z: jnp.clip(self._wrapped(
-            p, lr, z, self.cem.invalidity_margins_lr, pre_pad=True),
-            0.0, 1.0))
+        self._build_forward()
         self.lr_image = None       # [1, h, w, 3]
         self.hr_gt = None
         self.cur_z = None          # [1, H, W, C] numpy
@@ -88,10 +82,60 @@ class EditSession:
         self._redo: deque = deque(maxlen=100)
         self.d_apply = None        # optional critic for 'Adversarial'
         self.vgg_apply = None      # optional feature net for 'VGG'
-        # compiled-edit cache: (objective-kind, shapes) -> ZOptimizer whose
-        # data (LR crop, desired, mask) flows through traced obj_args, so
-        # repeated same-shape edits skip recompilation entirely
-        self._zopt_cache: dict = {}
+        # _zopt_cache (set by _build_forward): (objective-kind, shapes) ->
+        # ZOptimizer whose data (LR crop, desired, mask) flows through
+        # traced obj_args, so repeated same-shape edits skip recompilation
+
+    def _build_cem(self, upscale_kernel):
+        self.estimated_kernel = (upscale_kernel
+                                 if isinstance(upscale_kernel, np.ndarray)
+                                 else None)
+        self.cem = CEM.create(CEMConf(scale_factor=self.scale),
+                              upscale_kernel=upscale_kernel)
+        self.filters = self.cem.device_filters(3)
+
+    def _build_forward(self):
+        self._wrapped = cem_wrap(
+            lambda p, x, z: self.generator.apply(p, x, z), self.filters,
+            upscale=self.scale)
+        self._fwd = jax.jit(lambda p, lr, z: jnp.clip(self._wrapped(
+            p, lr, z, self.cem.invalidity_margins_lr, pre_pad=True),
+            0.0, 1.0))
+        self._zopt_cache = {}
+
+    # --------------------------------------------------------------- kernels
+    def set_kernel(self, kernel: np.ndarray | str | None):
+        """Rebuild the CEM chain for a non-bicubic downscaling kernel — the
+        GUI's in-session estimated-kernel toggle (GUI.py:1587-1606; the
+        inv_hTh magnitude bound rises to 0.1 for estimated kernels,
+        SRRaGAN_model.py:54-56).  ``kernel`` is an estimated ndarray, a
+        ``'blurry_cubic_<sigma>'`` string, or None to restore bicubic.
+        Filters, jitted forward, and edit-graph caches are rebuilt; the
+        SR view recomputes if an image is open."""
+        self._build_cem(kernel)
+        self._build_forward()
+        if self.lr_image is not None:
+            if self.hr_gt is not None:
+                # HR-sourced sessions re-derive the LR working image so the
+                # consistency invariant holds under the new kernel
+                lr = consistent_downsample(
+                    jnp.asarray(self.hr_gt), self.filters,
+                    self.cem.ds_kernel_invalidity_half_size_lr)
+                self.lr_image = np.asarray(lr)
+            self.recompute()
+        return self.sr
+
+    def estimate_kernel(self, max_iters: int = 3000):
+        """Run KernelGAN on the current LR image and switch the CEM to the
+        estimated kernel (GUI.py:1587-1599 Change_kernel_in_use)."""
+        assert self.lr_image is not None, 'open an image first'
+        from exsr.kernelgan.kernelgan import (KernelGAN, KernelGANConfig,
+                                              analytic_x4_kernel)
+        kg = KernelGAN(KernelGANConfig(max_iters=max_iters))
+        k2 = kg.estimate(self.lr_image[0])
+        kernel = analytic_x4_kernel(k2) if self.scale == 4 else k2
+        self.set_kernel(kernel)
+        return kernel
 
     # -------------------------------------------------------------- loading
     def load_params(self, params):

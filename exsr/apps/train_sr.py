@@ -61,6 +61,9 @@ def main(argv=None):
         from exsr.options.config import parse, experiment_from_reference_json
         exp = experiment_from_reference_json(parse(args.opt, is_train=True))
         cfg = exp.train
+        # the steps receive the full virtual batch and scan grad_accum_*
+        # microbatches internally (options.py:134-157 semantics)
+        args.batch = exp.train_data.batch_size
     if args.niter:
         cfg = cfg.__class__(**{**cfg.__dict__, 'niter': args.niter})
 
@@ -97,7 +100,8 @@ def main(argv=None):
         d_init_iters=cfg.d_init_iters,
         steps_4_loss_std=cfg.steps_4_loss_std,
         std_4_lr_drop=cfg.std_4_lr_drop,
-        lr_gamma=cfg.lr_gamma)
+        lr_gamma=cfg.lr_gamma,
+        base_lr=min(cfg.lr_g, cfg.lr_d))
 
     os.makedirs(args.exp_dir, exist_ok=True)
     ckpts = CheckpointManager(os.path.abspath(
@@ -111,6 +115,8 @@ def main(argv=None):
                 ctl_state['generator_started_learning']
             ctl.verified_d_saved = ctl_state['verified_d_saved']
             ctl.lr_scale = ctl_state['lr_scale']
+            state = state.replace(
+                lr_scale=jnp.asarray(ctl.lr_scale, jnp.float32))
         print(f'resumed at step {ctl.step}')
 
     ds = LRHRDataset(hr_root=args.hr_dir, lr_root=args.lr_dir,
@@ -181,6 +187,10 @@ def main(argv=None):
                 if rollback:
                     back_step, state = ckpts.restore_before(
                         state, ctl.step - cfg.steps_4_loss_std)
+                    # the halved scale applies to the compiled steps as a
+                    # traced scalar — no recompile (SRRaGAN_model.py:618-631)
+                    state = state.replace(
+                        lr_scale=jnp.asarray(ctl.lr_scale, jnp.float32))
                     print(f'instability rollback to step {back_step}, '
                           f'lr_scale={ctl.lr_scale}')
             if ctl.step % args.print_freq == 0:

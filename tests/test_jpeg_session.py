@@ -50,6 +50,7 @@ def test_open_real_coefficients(jsession):
     assert 49 < jsession.qf < 51  # the base table corresponds to QF 50
 
 
+@pytest.mark.slow
 def test_find_optimal_imprint_mask():
     import numpy as np
     from exsr.apps.jpeg_session import JPEGEditSession

@@ -36,6 +36,7 @@ def test_rrdb_forward_and_z_sensitivity():
     assert float(jnp.abs(out0 - out1).max()) > 1e-6
 
 
+@pytest.mark.slow
 def test_rrdb_no_latent():
     m = RRDBNet(nb=2, latent_channels=0)
     lr = jnp.zeros((1, 10, 10, 3))
@@ -43,6 +44,7 @@ def test_rrdb_no_latent():
     assert m.apply(params, lr, None).shape == (1, 40, 40, 3)
 
 
+@pytest.mark.slow
 def test_discriminator_vgg128_fc_head():
     d = DiscriminatorVGG128(nb=10, num_2_strides=5, input_patch_size=128)
     x = jnp.zeros((2, 128, 128, 3))
@@ -92,6 +94,7 @@ def test_dncnn_discriminator_shapes():
     assert out.shape == (2, 1)
 
 
+@pytest.mark.slow
 def test_vgg19_features_shapes():
     m = VGG19Features()
     x = jnp.zeros((1, 64, 64, 3))
@@ -101,6 +104,7 @@ def test_vgg19_features_shapes():
     assert out.shape == (1, 4, 4, 512)
 
 
+@pytest.mark.slow
 def test_vgg96_and_acd_heads():
     from exsr.models.discriminators import DiscriminatorVGG, ACDVGGBN96
     x = jnp.zeros((1, 96, 96, 3))
@@ -114,6 +118,7 @@ def test_vgg96_and_acd_heads():
     assert gan.shape == (1, 1) and cls.shape == (1, 8)
 
 
+@pytest.mark.slow
 def test_vgg128_sn():
     from exsr.models.discriminators import DiscriminatorVGG128SN
     x = jnp.zeros((1, 128, 128, 3))
@@ -123,6 +128,7 @@ def test_vgg128_sn():
     assert out.shape == (1, 1)
 
 
+@pytest.mark.slow
 def test_msrresnet_and_srresnet():
     from exsr.models.classifiers import MSRResNet, SRResNet
     x = jnp.zeros((1, 12, 12, 3))
@@ -132,6 +138,7 @@ def test_msrresnet_and_srresnet():
         assert m.apply(p, x).shape == (1, 48, 48, 3)
 
 
+@pytest.mark.slow
 def test_svhn_classifier_heads():
     from exsr.models.classifiers import SVHNClassifier
     m = SVHNClassifier()
@@ -142,6 +149,7 @@ def test_svhn_classifier_heads():
     assert all(h.shape == (2, 11) for h in heads[1:])
 
 
+@pytest.mark.slow
 def test_esrgan_converter_zero_z_equivalence():
     """Converted ESRGAN weights with zero-init Z columns: at Z=0 the
     explorable generator must equal the latent-free generator with the
@@ -192,6 +200,7 @@ def test_esrgan_converter_zero_z_equivalence():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_perceptual_nets_shapes():
     from exsr.models.perceptual import MINCNet, ResNet101Features
     x = jnp.zeros((1, 64, 64, 3))
@@ -230,6 +239,7 @@ def test_segnet_encoder_and_autoencoder():
     assert recon.shape == (1, 64, 64, 3)
 
 
+@pytest.mark.slow
 def test_eresnet_encoder():
     import jax
     from exsr.models.encoders import EResNet

@@ -34,6 +34,7 @@ def test_sepfilter_inv_hth_taps():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_rrdb_block_kernel_matches_flax():
     import jax
     from exsr.models.rrdb import RRDB
@@ -52,6 +53,7 @@ def test_rrdb_block_kernel_matches_flax():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_rrdbnet_pallas_trunk_matches_flax():
     import jax
     from jax.experimental.pallas import tpu as pltpu

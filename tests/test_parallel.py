@@ -40,6 +40,7 @@ def test_spatial_sharding_preserves_cem_output():
     np.testing.assert_allclose(np.asarray(out_s), ref, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_data_parallel_forward_matches_single_device():
     from exsr.models.rrdb import RRDBNet
     g = RRDBNet(nb=1, nf=8, gc=4, latent_channels=3)

@@ -1,0 +1,39 @@
+"""Grouped fast-inference path equivalence vs the canonical RRDBNet."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exsr.models.rrdb import RRDBNet
+from exsr.models.rrdb_fast import pack_grouped_params, rrdbnet_apply_fast
+
+
+@pytest.mark.parametrize('latent', [3, 0])
+def test_fast_path_matches_flax(latent):
+    nf, gc, nb = 16, 8, 2
+    g = RRDBNet(nf=nf, gc=gc, nb=nb, latent_channels=latent)
+    lr = jax.random.uniform(jax.random.PRNGKey(1), (2, 12, 12, 3))
+    z = (jax.random.uniform(jax.random.PRNGKey(2), (2, 48, 48, latent))
+         * 2 - 1 if latent else None)
+    params = g.init(jax.random.PRNGKey(0), lr, z)
+    ref = np.asarray(g.apply(params, lr, z))
+    out = np.asarray(rrdbnet_apply_fast(
+        params, lr, z, nf=nf, gc=gc, nb=nb, latent_channels=latent,
+        dtype=None))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_pack_grouped_shapes():
+    nf, gc, nb, nz = 16, 8, 2, 3
+    g = RRDBNet(nf=nf, gc=gc, nb=nb, latent_channels=nz)
+    lr = jnp.zeros((1, 8, 8, 3))
+    z = jnp.zeros((1, 32, 32, nz))
+    params = g.init(jax.random.PRNGKey(0), lr, z)
+    packed, rest = pack_grouped_params(params, nf=nf, gc=gc,
+                                       latent_channels=nz)
+    e = packed['rdb1']
+    assert e['w0'].shape == (nb, 3, 3, nz + nf, 4 * gc + nf)
+    assert e['w1'].shape == (nb, 3, 3, gc, 3 * gc + nf)
+    assert e['w4'].shape == (nb, 3, 3, gc, nf)
+    assert set(rest) >= {'fea_conv', 'trunk_conv', 'upconv0', 'upconv1',
+                         'hr_conv0', 'hr_conv1'}

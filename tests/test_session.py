@@ -44,6 +44,7 @@ def test_svd_sliders(session):
     session.undo()
 
 
+@pytest.mark.slow
 def test_optimize_l1_region(session):
     mask = np.zeros((96, 96), np.float32)
     mask[24:72, 24:72] = 1.0
@@ -71,6 +72,7 @@ def test_save_load_z(session, tmp_path):
     np.testing.assert_array_equal(session.cur_z, z_saved)
 
 
+@pytest.mark.slow
 def test_desired_svd_objective(session):
     mask = np.zeros((96, 96), np.float32)
     mask[20:70, 20:70] = 1.0
@@ -104,6 +106,7 @@ def test_imprint_location_search(session):
     assert np.isfinite(res['consistency_error'])
 
 
+@pytest.mark.slow
 def test_hist_objective_auto_temperature(session):
     mask = np.zeros((96, 96), np.float32)
     mask[16:80, 16:80] = 1.0
@@ -131,3 +134,52 @@ def test_estimate_periodicity_sinusoid():
     assert abs(np.linalg.norm(vec) - 12.0) < 1.0, vec
     # direction preserved (pure +y)
     assert abs(vec[1]) < 1e-6 and vec[0] > 0
+
+
+@pytest.mark.slow
+def test_set_kernel_rebuilds_cem():
+    """In-session estimated-kernel flow (GUI.py:1587-1606): switching to a
+    non-bicubic kernel rebuilds filters and keeps the displayed SR
+    consistent with the re-derived LR under the NEW kernel."""
+    s = EditSession(scale=4, nb=1, time_budget_s=5.0)
+    s.init_random_params(0)
+    rng = np.random.default_rng(1)
+    img = rng.uniform(size=(192, 192, 3)).astype(np.float32)
+    s.open_image(img, is_hr=True)
+    bicubic_k = s.cem.ds_kernel.copy()
+
+    import jax.numpy as jnp
+    from exsr.cem.cem import consistent_downsample
+
+    def consistency_err(sess):
+        # measured pre-clipping, as the reference does (test.py:218-236);
+        # the display clip(0,1) legitimately breaks exact consistency when
+        # the truncated inv_hTh of estimated kernels overshoots the range
+        out = sess._wrapped(sess.params, jnp.asarray(sess.lr_image),
+                            jnp.asarray(sess.cur_z),
+                            sess.cem.invalidity_margins_lr, pre_pad=True)
+        down = np.asarray(consistent_downsample(
+            out, sess.filters,
+            sess.cem.ds_kernel_invalidity_half_size_lr))
+        m = int(np.clip(sess.cem.invalidity_margins_lr, 1,
+                        sess.lr_image.shape[1] // 2 - 4))
+        return np.abs(down - sess.lr_image)[:, m:-m, m:-m].max()
+
+    s.set_kernel('blurry_cubic_1.0')
+    assert s.cem.ds_kernel.shape != bicubic_k.shape or \
+        np.abs(s.cem.ds_kernel - bicubic_k).max() > 1e-6
+    assert consistency_err(s) < 1e-4
+
+    # an estimated ndarray kernel (gaussian) also holds the invariant
+    x = np.arange(13) - 6.0
+    g1 = np.exp(-x ** 2 / (2 * 1.3 ** 2))
+    k2 = np.outer(g1, g1)
+    k2 /= k2.sum()
+    s.set_kernel(k2)
+    assert s.estimated_kernel is not None
+    assert consistency_err(s) < 1e-4
+
+    # back to bicubic
+    s.set_kernel(None)
+    assert s.estimated_kernel is None
+    np.testing.assert_allclose(s.cem.ds_kernel, bicubic_k)

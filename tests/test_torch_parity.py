@@ -1,0 +1,237 @@
+"""Converter parity: torch reference forwards vs converted flax forwards.
+
+Each test builds the torch network with RANDOM weights (torch CPU is in the
+image), converts the state dict through the shipped one-time tooling
+(exsr/models/convert.py, vgg.py, classifiers.py), and asserts the flax
+forward matches the torch forward — so 'weight conversion works' is a
+tested claim, not an assumed one.
+
+Torch architectures are re-declared here from their public definitions:
+ESRGAN's classic RRDB layout (reference architecture.py:228-302 /
+original xinntao ESRGAN), torchvision's vgg19 'features' layout
+(architecture.py:658-724), and the SVHNClassifier-PyTorch model
+(utils/SVHN_classifier_model.py).
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+import torch.nn as nn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+# ------------------------------------------------------------ torch ESRGAN
+class _TorchRDB(nn.Module):
+    def __init__(self, nf, gc):
+        super().__init__()
+        for i in range(5):
+            cin = nf + i * gc
+            cout = gc if i < 4 else nf
+            setattr(self, f'conv{i + 1}',
+                    nn.Sequential(nn.Conv2d(cin, cout, 3, 1, 1)))
+        self.lrelu = nn.LeakyReLU(0.2)
+
+    def forward(self, x):
+        feats = [x]
+        for i in range(4):
+            out = getattr(self, f'conv{i + 1}')(torch.cat(feats, 1))
+            feats.append(self.lrelu(out))
+        out = self.conv5(torch.cat(feats, 1))
+        return out * 0.2 + x
+
+
+class _TorchRRDB(nn.Module):
+    def __init__(self, nf, gc):
+        super().__init__()
+        self.RDB1 = _TorchRDB(nf, gc)
+        self.RDB2 = _TorchRDB(nf, gc)
+        self.RDB3 = _TorchRDB(nf, gc)
+
+    def forward(self, x):
+        return self.RDB3(self.RDB2(self.RDB1(x))) * 0.2 + x
+
+
+class _Shortcut(nn.Module):
+    def __init__(self, sub):
+        super().__init__()
+        self.sub = sub
+
+    def forward(self, x):
+        return x + self.sub(x)
+
+
+def _torch_esrgan(nf, nb, gc):
+    """Classic ESRGAN Sequential layout: model.0 / model.1.sub.N /
+    model.3 / model.6 / model.8 / model.10."""
+    up = nn.Upsample(scale_factor=2, mode='nearest')
+    lrelu = nn.LeakyReLU(0.2)
+    trunk = nn.Sequential(*[_TorchRRDB(nf, gc) for _ in range(nb)],
+                          nn.Conv2d(nf, nf, 3, 1, 1))
+    return nn.Sequential(
+        nn.Conv2d(3, nf, 3, 1, 1), _Shortcut(trunk),
+        up, nn.Conv2d(nf, nf, 3, 1, 1), lrelu,
+        up, nn.Conv2d(nf, nf, 3, 1, 1), lrelu,
+        nn.Conv2d(nf, nf, 3, 1, 1), lrelu,
+        nn.Conv2d(nf, 3, 3, 1, 1))
+
+
+def test_rrdb_converted_forward_matches_torch():
+    from exsr.models.convert import convert_esrgan_rrdb, align_params_to
+    from exsr.models.rrdb import RRDBNet
+
+    nf, nb, gc = 16, 2, 8
+    tg = _torch_esrgan(nf, nb, gc)
+    torch.manual_seed(0)
+    for p in tg.parameters():
+        p.data.uniform_(-0.1, 0.1)
+    tg.eval()
+    state = {f'model.{k}': v for k, v in tg.state_dict().items()}
+
+    g = RRDBNet(nf=nf, nb=nb, gc=gc, latent_channels=0)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(2, 12, 12, 3)).astype(np.float32)
+    template = g.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = align_params_to(
+        template, convert_esrgan_rrdb(state, nb=nb, latent_channels=0))
+    out_flax = np.asarray(g.apply(params, jnp.asarray(x)))
+    with torch.no_grad():
+        out_torch = tg(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    out_torch = out_torch.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(out_flax, out_torch, atol=2e-5)
+
+
+def test_rrdb_latent_migration_matches_torch_at_zero_z():
+    """Warm-start migration (base_model.py:146-190): converting the Z-less
+    torch net into a latent_channels=3 flax net must reproduce the torch
+    forward exactly at Z=0 (the zero-padded input columns see zeros)."""
+    from exsr.models.convert import convert_esrgan_rrdb, align_params_to
+    from exsr.models.rrdb import RRDBNet
+
+    nf, nb, gc = 16, 2, 8
+    tg = _torch_esrgan(nf, nb, gc)
+    torch.manual_seed(1)
+    for p in tg.parameters():
+        p.data.uniform_(-0.1, 0.1)
+    tg.eval()
+    state = {f'model.{k}': v for k, v in tg.state_dict().items()}
+
+    g = RRDBNet(nf=nf, nb=nb, gc=gc, latent_channels=3)
+    rng = np.random.default_rng(1)
+    x = rng.uniform(size=(1, 12, 12, 3)).astype(np.float32)
+    z = jnp.zeros((1, 48, 48, 3), jnp.float32)
+    template = g.init(jax.random.PRNGKey(0), jnp.asarray(x), z)
+    params = align_params_to(
+        template, convert_esrgan_rrdb(state, nb=nb, latent_channels=3))
+    out_flax = np.asarray(g.apply(params, jnp.asarray(x), z))
+    with torch.no_grad():
+        out_torch = tg(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        out_flax, out_torch.numpy().transpose(0, 2, 3, 1), atol=2e-5)
+
+
+# ------------------------------------------------------------- torch VGG19
+def _torch_vgg19_features():
+    from exsr.models.vgg import VGG19_CFG
+    layers, cin = [], 3
+    for item in VGG19_CFG:
+        if item == 'M':
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers += [nn.Conv2d(cin, item, 3, 1, 1), nn.ReLU()]
+            cin = item
+    return nn.Sequential(*layers)
+
+
+@pytest.mark.slow
+def test_vgg19_feature_extractor_matches_torch(tmp_path):
+    """VGGFeatureExtractor parity (architecture.py:658-724): feature_layer
+    34 == torchvision features[:35] == stop pre-ReLU after conv16, with
+    ImageNet input normalization."""
+    from exsr.models.vgg import (VGG19Features, load_torch_vgg19_features,
+                                 IMAGENET_MEAN, IMAGENET_STD)
+
+    feats = _torch_vgg19_features()
+    torch.manual_seed(2)
+    for p in feats.parameters():
+        p.data.uniform_(-0.05, 0.05)
+    feats.eval()
+    path = str(tmp_path / 'vgg19.pth')
+    torch.save({f'features.{k}': v for k, v in feats.state_dict().items()},
+               path)
+
+    variables = load_torch_vgg19_features(path, num_convs=16)
+    model = VGG19Features(num_convs=16, use_input_norm=True)
+    rng = np.random.default_rng(2)
+    x = rng.uniform(size=(1, 64, 64, 3)).astype(np.float32)
+    out_flax = np.asarray(model.apply(variables, jnp.asarray(x)))
+
+    xn = (x - IMAGENET_MEAN) / IMAGENET_STD
+    with torch.no_grad():
+        out_torch = feats[:35](torch.from_numpy(xn.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        out_flax, out_torch.numpy().transpose(0, 2, 3, 1), atol=5e-4)
+
+
+# ---------------------------------------------------------- torch SVHN net
+def _torch_svhn():
+    feats = [3, 48, 64, 128, 160, 192, 192, 192, 192]
+    mods = {}
+    for i in range(8):
+        mods[f'_hidden{i + 1}'] = nn.Sequential(
+            nn.Conv2d(feats[i], feats[i + 1], 5, padding=2),
+            nn.BatchNorm2d(feats[i + 1]),
+            nn.ReLU(),
+            nn.MaxPool2d(2, stride=2 if i % 2 == 0 else 1, padding=1),
+            nn.Dropout(0.0))
+    mods['_hidden9'] = nn.Sequential(nn.Linear(192 * 7 * 7, 3072),
+                                     nn.ReLU())
+    mods['_hidden10'] = nn.Sequential(nn.Linear(3072, 3072), nn.ReLU())
+    mods['_digit_length'] = nn.Sequential(nn.Linear(3072, 7))
+    for d in range(1, 6):
+        mods[f'_digit{d}'] = nn.Sequential(nn.Linear(3072, 11))
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            for k, v in mods.items():
+                setattr(self, k, v)
+
+        def forward(self, x):
+            for i in range(8):
+                x = getattr(self, f'_hidden{i + 1}')(x)
+            x = x.reshape(x.shape[0], -1)
+            x = self._hidden10(self._hidden9(x))
+            return tuple([self._digit_length(x)]
+                         + [getattr(self, f'_digit{d}')(x)
+                            for d in range(1, 6)])
+    return M()
+
+
+@pytest.mark.slow
+def test_svhn_classifier_matches_torch(tmp_path):
+    from exsr.models.classifiers import (SVHNClassifier,
+                                         load_svhn_torch_state_dict)
+    m = _torch_svhn()
+    torch.manual_seed(3)
+    for p in m.parameters():
+        p.data.uniform_(-0.05, 0.05)
+    for mod in m.modules():
+        if isinstance(mod, nn.BatchNorm2d):
+            mod.running_mean.uniform_(-0.1, 0.1)
+            mod.running_var.uniform_(0.5, 1.5)
+    m.eval()
+    path = str(tmp_path / 'svhn.pth')
+    torch.save(m.state_dict(), path)
+
+    variables = load_svhn_torch_state_dict(path)
+    clf = SVHNClassifier()
+    rng = np.random.default_rng(3)
+    x = (rng.uniform(size=(2, 54, 54, 3)) * 2 - 1).astype(np.float32)
+    heads_flax = clf.apply(variables, jnp.asarray(x), train=False)
+    with torch.no_grad():
+        heads_torch = m(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    assert len(heads_flax) == len(heads_torch) == 6
+    for hf, ht in zip(heads_flax, heads_torch):
+        np.testing.assert_allclose(np.asarray(hf), ht.numpy(), atol=2e-4)

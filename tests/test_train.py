@@ -44,6 +44,7 @@ def _batch(lr_size, patch, b=8, seed=0):
                               .astype(np.float32))}
 
 
+@pytest.mark.slow
 def test_d_and_g_steps_update_params(tiny_setup):
     cem, trainer, g_params, d_vars, lr_size, patch = tiny_setup
     state = trainer.init_state(g_params, d_vars, jax.random.PRNGKey(2))
@@ -65,6 +66,7 @@ def test_d_and_g_steps_update_params(tiny_setup):
     assert int(state2.ratio_stats.count) == batch['hr'].shape[0]
 
 
+@pytest.mark.slow
 def test_dual_step_map_loss(tiny_setup):
     cem, trainer, g_params, d_vars, lr_size, patch = tiny_setup
     state = trainer.init_state(g_params, d_vars, jax.random.PRNGKey(3))
@@ -131,6 +133,103 @@ def test_sharded_d_step_runs_on_mesh(tiny_setup):
     batch = rules.shard_batch(_batch(lr_size, patch, b=8))
     state1, metrics = trainer.d_step(state, batch, dual=False)
     assert np.isfinite(float(metrics['l_d_total']))
+
+
+@pytest.mark.slow
+def test_grad_accumulation_matches_single_batch(tiny_setup):
+    """2 microbatches of 8 == one batch-16 step (bit-level, per-sample
+    losses only — SRRaGAN_model.py:280-521 / options.py:134-157)."""
+    cem, trainer, g_params, d_vars, lr_size, patch = tiny_setup
+    # pixel loss only: the 5000x range weight amplifies fp32 reduction
+    # noise on heavily-cancelled bias grads to percent level (verified:
+    # batch-permutation noise alone exceeds the accumulation difference)
+    base = dict(trainer.cfg.__dict__, pixel_weight=1.0, range_weight=None,
+                latent_weight=None, optimal_z_weight=None)
+    cfg1 = TrainConfig(**base)
+    cfg2 = TrainConfig(**dict(base, grad_accum_g=2))
+    tr1 = SRRaGANTrainer(cfg1, trainer.g_apply, trainer.d_apply,
+                         margins_hr=trainer.margins_hr)
+    tr2 = SRRaGANTrainer(cfg2, trainer.g_apply, trainer.d_apply,
+                         margins_hr=trainer.margins_hr)
+    batch = _batch(lr_size, patch, b=16, seed=7)
+    s1 = tr1.init_state(g_params, d_vars, jax.random.PRNGKey(9))
+    s2 = tr2.init_state(g_params, d_vars, jax.random.PRNGKey(9))
+
+    # gradient-level check: mean of two microbatch grads == full-batch grad
+    rng, z_rng, map_rng = jax.random.split(s1.rng, 3)
+    hr, lr_in = batch['hr'], batch['lr']
+    z, svd = tr1.sample_z(z_rng, 16, hr.shape[1], hr.shape[2])
+    ref = tr1.unpad(hr)
+    def grads_of(idx):
+        svd_i = None if svd is None else {k: v[idx] for k, v in svd.items()}
+        g, _, _ = tr1._g_grads(s1, lr_in[idx], ref[idx], z[idx], svd_i,
+                               map_rng, s1.ratio_stats, False, False)
+        return g
+
+    full_idx = np.arange(16)
+    g_full = grads_of(full_idx)
+    g_acc = jax.tree.map(lambda a, b: (a + b) / 2,
+                         grads_of(full_idx[:8]), grads_of(full_idx[8:]))
+    # fp32 yardstick: per-sample pixel grads cancel heavily, so compare the
+    # accumulation error against the noise from merely permuting the batch
+    # (mathematically identical mean, different reduction order)
+    g_perm = grads_of(np.asarray([15, 3, 7, 0, 9, 12, 1, 14,
+                                  2, 8, 5, 11, 4, 13, 6, 10]))
+    scale = max(jax.tree.leaves(jax.tree.map(
+        lambda a: float(jnp.abs(a).max()), g_full)))
+
+    def noise(a, b):
+        return max(jax.tree.leaves(jax.tree.map(
+            lambda x, y: float(jnp.abs(x - y).max()), a, b))) / scale
+    assert noise(g_full, g_acc) <= 10 * noise(g_full, g_perm) + 1e-7
+
+    # end-to-end step: identical up to Adam's lr*sign(g) sensitivity for
+    # near-zero gradients under fp32 reduction-order noise (bounded by
+    # 2*lr = 2e-5 per element)
+    s1, m1 = tr1.g_step(s1, batch, dual=False, use_gan=False)
+    s2, m2 = tr2.g_step(s2, batch, dual=False, use_gan=False)
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         s1.g_params, s2.g_params)
+    assert max(jax.tree.leaves(diffs)) <= 2 * trainer.cfg.lr_g + 1e-9
+    assert float(m1['l_g_pix']) == pytest.approx(float(m2['l_g_pix']),
+                                                 abs=1e-6)
+
+
+@pytest.mark.slow
+def test_d_step_grad_accumulation_smoke(tiny_setup):
+    cem, trainer, g_params, d_vars, lr_size, patch = tiny_setup
+    cfg = TrainConfig(**dict(trainer.cfg.__dict__, grad_accum_d=2))
+    tr = SRRaGANTrainer(cfg, trainer.g_apply, trainer.d_apply,
+                        margins_hr=trainer.margins_hr)
+    state = tr.init_state(g_params, d_vars, jax.random.PRNGKey(11))
+    state1, m = tr.d_step(state, _batch(lr_size, patch, b=8, seed=3),
+                          dual=True)
+    assert np.isfinite(float(m['l_d_total']))
+    delta = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         state.d_vars['params'], state1.d_vars['params'])
+    assert max(jax.tree.leaves(delta)) > 0
+
+
+@pytest.mark.slow
+def test_lr_scale_halves_effective_step(tiny_setup):
+    """Rollback semantics: state.lr_scale scales the applied update exactly
+    (the reference halves the optimizer LR, SRRaGAN_model.py:618-631)."""
+    cem, trainer, g_params, d_vars, lr_size, patch = tiny_setup
+    batch = _batch(lr_size, patch, seed=5)
+    s_full = trainer.init_state(g_params, d_vars, jax.random.PRNGKey(6))
+    s_half = s_full.replace(lr_scale=jnp.float32(0.5))
+    out_full, _ = trainer.g_step(s_full, batch, dual=False, use_gan=False)
+    out_half, _ = trainer.g_step(s_half, batch, dual=False, use_gan=False)
+
+    def upd(new, old):
+        return jax.tree.map(lambda a, b: a - b, new, old)
+    u_full = upd(out_full.g_params, s_full.g_params)
+    u_half = upd(out_half.g_params, s_half.g_params)
+    # params are stored fp32 (~0.1 magnitude), so extracting a ~1e-5 update
+    # by subtraction carries ~1e-8 representation error per term
+    ratios = jax.tree.map(
+        lambda a, b: float(jnp.abs(b - 0.5 * a).max()), u_full, u_half)
+    assert max(jax.tree.leaves(ratios)) < 1e-7
 
 
 def test_controller_verification_modes():
