@@ -1,0 +1,81 @@
+"""Z-edit latency benchmark (BASELINE.md north-star: <5 ms/edit-step).
+
+Measures the session's actual compiled edit program — CEM-wrapped grouped
+23-block generator forward+backward, masked-l1 objective, Adam-on-Z update,
+accept/revert round logic — per step, at several edit-window sizes:
+
+  * ``scan`` — the pure compiled loop (optimize_rounds warm relaunch),
+    the per-step cost a long edit converges to;
+  * ``e2e`` — a full EditSession.optimize call / its step count, which
+    adds the final full-image recompute and host transfers (paid once per
+    edit, so it shrinks as edits run longer).
+
+Prints one JSON line per window size.  Run on the TPU: python bench_edit.py
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main():
+    import numpy as np
+    import jax.numpy as jnp
+    from exsr.apps.session import EditSession
+
+    s = EditSession(scale=4, nb=23, edit_dtype=jnp.bfloat16,
+                    time_budget_s=1e9, rounds_per_launch=6)
+    s.init_random_params(0)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(256, 256, 3)).astype(np.float32)
+    s.open_image(img, is_hr=True)
+    H = 256
+
+    for win_lr in (16, 32, 48):
+        w_hr = win_lr * 4
+        y0 = (H - w_hr) // 2
+        mask = np.zeros((H, H), np.float32)
+        mask[y0:y0 + w_hr, y0:y0 + w_hr] = 1.0
+        s.set_region(mask)
+        desired = np.clip(np.asarray(s.sr) + 0.05, 0, 1)
+        data = {'desired': desired}
+        s.optimize('l1', data=data, max_iters=30)  # compile
+        s.undo()
+        t0 = time.perf_counter()
+        res = s.optimize('l1', data=data, max_iters=30)
+        e2e = (time.perf_counter() - t0) / max(len(res['losses']), 1)
+        s.undo()
+
+        # pure compiled loop: relaunch the cached round program directly
+        key = [k for k in s._zopt_cache][-1]
+        zo = s._zopt_cache[key]
+        box = s._crop_box()
+        yy0, yy1, xx0, xx1 = box
+        sc = s.scale
+        lr_crop = jnp.asarray(s.lr_image[:, yy0:yy1, xx0:xx1])
+        z_crop = s.cur_z[:, yy0 * sc:yy1 * sc, xx0 * sc:xx1 * sc]
+        mask_crop = mask[yy0 * sc:yy1 * sc, xx0 * sc:xx1 * sc]
+        obj_args = {'lr': lr_crop,
+                    'desired': jnp.asarray(
+                        desired[:, yy0 * sc:yy1 * sc, xx0 * sc:xx1 * sc]),
+                    'mask': jnp.asarray(mask_crop[None, :, :, None])}
+        theta = jnp.asarray(np.arctanh(np.clip(z_crop, -1 + 1e-7,
+                                               1 - 1e-7)))
+        zo.optimize_rounds(theta, n_rounds=6, obj_args=obj_args)  # warm
+        t0 = time.perf_counter()
+        out = zo.optimize_rounds(theta, n_rounds=6, obj_args=obj_args)
+        n = int(np.sum(~np.isnan(out[4])))
+        scan = (time.perf_counter() - t0) / max(n, 1)
+        print(json.dumps({
+            'metric': 'z_edit_latency',
+            'window_lr': win_lr,
+            'crop_lr': int(lr_crop.shape[1]),
+            'scan_ms_per_step': round(1000 * scan, 2),
+            'e2e_ms_per_step': round(1000 * e2e, 2),
+            'vs_target_5ms': round(1000 * scan / 5.0, 2),
+        }), flush=True)
+
+
+if __name__ == '__main__':
+    main()

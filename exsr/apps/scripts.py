@@ -115,6 +115,95 @@ def color2gray(input_dir, output_dir):
     print('done')
 
 
+def results_2_video(images_dir, out_path, fps=5, blink_seconds=40):
+    """Validation-progress video (scripts/results_2_video.py:1-37): frames
+    sorted by the step number before '_PSNR' in the filename, step number
+    drawn on each frame, then a first/final blinking comparison tail.
+    Writes an animated GIF (no ffmpeg/cv2 codecs needed in this image)."""
+    import re
+    from PIL import Image, ImageDraw
+
+    names = [f for f in os.listdir(images_dir) if f.endswith('.png')
+             and re.search(r'(\d)+(?=_PSNR)', f)]
+    names.sort(key=lambda x: int(re.search(r'(\d)+(?=_PSNR)', x).group(0)))
+    assert names, f'no <step>_PSNR*.png frames in {images_dir}'
+
+    def labeled(name, text):
+        im = Image.open(os.path.join(images_dir, name)).convert('RGB')
+        ImageDraw.Draw(im).text((4, 4), text, fill=(255, 255, 255))
+        return im
+
+    frames = [labeled(n, re.search(r'(\d)+(?=_PSNR)', n).group(0))
+              for n in names]
+    first = frames[0]
+    last_step = re.search(r'(\d)+(?=_PSNR)', names[-1]).group(0)
+    final = labeled(names[-1], f'Final ({last_step})')
+    for sec in range(blink_seconds):
+        frames.extend([final if sec % 2 else first] * fps)
+    frames[0].save(out_path, save_all=True, append_images=frames[1:],
+                   duration=int(1000 / fps), loop=0)
+    print(f'wrote {len(frames)}-frame video to {out_path}')
+
+
+def fft_comparison(folder_a, out_path, folder_b=None):
+    """Average log-spectrum analysis (FFT_comparison.py:1-61): mean over a
+    results folder of log|FFT| of the grayscale images — or, with
+    ``folder_b``, the log ratio of spectra between two result sets
+    (matched by the leading image name), visualizing which frequencies a
+    model reconstructs more strongly."""
+    from PIL import Image
+    from exsr.data.datasets import list_images
+
+    paths_a = list_images(folder_a)
+    by_name_b = {}
+    if folder_b:
+        for p in list_images(folder_b):
+            key = os.path.basename(p).split('.')[0].split('_')[0]
+            by_name_b[key] = p
+
+    def gray(path):
+        return np.asarray(Image.open(path).convert('L'),
+                          np.float64) / 255.0
+
+    specs, max_dims = [], [0, 0]
+    for p in paths_a:
+        fa = np.abs(np.fft.fft2(gray(p)))
+        if folder_b:
+            key = os.path.basename(p).split('.')[0].split('_')[0]
+            if key not in by_name_b:
+                continue
+            fb = np.abs(np.fft.fft2(gray(by_name_b[key])))
+            spec = np.log(fa / (np.finfo(np.float64).eps + fb))
+        else:
+            spec = np.log(np.maximum(fa, np.finfo(np.float64).eps))
+        specs.append(spec)
+        max_dims = [max(max_dims[0], spec.shape[0]),
+                    max(max_dims[1], spec.shape[1])]
+    assert specs, 'no comparable images found'
+    from exsr.ops.filters import bilinear_resize
+    import jax.numpy as jnp
+    resized = [np.asarray(bilinear_resize(
+        jnp.asarray(s, jnp.float32)[None, :, :, None],
+        max_dims[0], max_dims[1]))[0, :, :, 0] for s in specs]
+    mean_spec = np.mean(np.stack(resized), 0)
+    scale = np.percentile(np.abs(mean_spec), 99) or 1.0
+    np.savez(out_path if out_path.endswith('.npz') else out_path + '.npz',
+             mean_log_spectrum=mean_spec, scale=scale,
+             n_images=len(resized))
+    # also render a PNG heatmap (fftshifted, signed red/green for ratios)
+    vis = np.fft.fftshift(mean_spec / scale)
+    if folder_b:
+        rgb = np.stack([np.clip(-vis, 0, 1), np.clip(vis, 0, 1),
+                        np.zeros_like(vis)], -1)
+    else:
+        v = np.clip((vis + 1) / 2, 0, 1)
+        rgb = np.stack([v, v, v], -1)
+    png = out_path.rsplit('.', 1)[0] + '.png'
+    Image.fromarray((rgb * 255).astype(np.uint8)).save(png)
+    print(f'wrote spectrum ({len(resized)} images) to {png}')
+    return mean_spec
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest='cmd', required=True)
@@ -144,6 +233,15 @@ def main(argv=None):
     s = sub.add_parser('pack')
     s.add_argument('--input_dir', required=True)
     s.add_argument('--out', required=True)
+    s = sub.add_parser('results_2_video')
+    s.add_argument('--images_dir', required=True)
+    s.add_argument('--out', required=True)
+    s.add_argument('--fps', type=int, default=5)
+    s.add_argument('--blink_seconds', type=int, default=40)
+    s = sub.add_parser('fft_comparison')
+    s.add_argument('--folder_a', required=True)
+    s.add_argument('--folder_b')
+    s.add_argument('--out', required=True)
     args = p.parse_args(argv)
     if args.cmd == 'extract_subimages':
         extract_subimages(args.input_dir, args.output_dir, args.crop_size,
@@ -162,6 +260,11 @@ def main(argv=None):
         from exsr.data.packed import pack_images
         n = pack_images(args.input_dir, args.out)
         print(f'packed {n} images into {args.out}')
+    elif args.cmd == 'results_2_video':
+        results_2_video(args.images_dir, args.out, args.fps,
+                        args.blink_seconds)
+    elif args.cmd == 'fft_comparison':
+        fft_comparison(args.folder_a, args.out, args.folder_b)
 
 
 if __name__ == '__main__':

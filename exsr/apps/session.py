@@ -62,8 +62,10 @@ class EditSession:
     time_budget_s: float = DEFAULT_TIME_BUDGET_S
     edit_dtype: object = None     # e.g. jnp.bfloat16: bf16 trunk for edits
     fast_edit: bool = True        # crop includes the margins; skip pre-pad
-    iters_per_round: int = ITERS_PER_ROUND  # loss-check granularity; larger
-    # rounds amortize the per-launch latency (notable through the tunnel)
+    fast_trunk: bool = True       # grouped-conv trunk (rrdb_fast; ~1.5x)
+    iters_per_round: int = ITERS_PER_ROUND  # loss-check granularity
+    rounds_per_launch: int = 6   # rounds compiled into one device launch;
+    # larger chunks amortize the per-launch latency (notable on the tunnel)
 
     def __post_init__(self):
         self._build_cem(None)
@@ -72,6 +74,7 @@ class EditSession:
                                  latent_channels=self.latent_channels,
                                  dtype=self.edit_dtype)
         self.params = None
+        self._packed = None
         self._build_forward()
         self.lr_image = None       # [1, h, w, 3]
         self.hr_gt = None
@@ -95,13 +98,48 @@ class EditSession:
         self.filters = self.cem.device_filters(3)
 
     def _build_forward(self):
-        self._wrapped = cem_wrap(
-            lambda p, x, z: self.generator.apply(p, x, z), self.filters,
-            upscale=self.scale)
+        if self.fast_trunk:
+            from exsr.models.rrdb_fast import rrdbnet_apply_fast
+            g = self.generator
+
+            def g_apply(p, x, z):
+                return rrdbnet_apply_fast(
+                    None, x, z, packed=p, nf=g.nf, gc=g.gc,
+                    upscale=self.scale,
+                    latent_channels=self.latent_channels,
+                    dtype=self.edit_dtype)
+        else:
+            g_apply = lambda p, x, z: self.generator.apply(p, x, z)
+        self._wrapped = cem_wrap(g_apply, self.filters,
+                                 upscale=self.scale)
         self._fwd = jax.jit(lambda p, lr, z: jnp.clip(self._wrapped(
             p, lr, z, self.cem.invalidity_margins_lr, pre_pad=True),
             0.0, 1.0))
+        # shape-cached jitted forwards for cropped edit windows (an eager
+        # 23-block forward is ~1000 op dispatches through the tunnel)
+        m = self.cem.invalidity_margins_lr
+        self._crop_fwd = {
+            True: jax.jit(lambda p, lr, z: jnp.clip(self._wrapped(
+                p, lr, z, m, pre_pad=True), 0.0, 1.0)),
+            False: jax.jit(lambda p, lr, z: jnp.clip(self._wrapped(
+                p, lr, z, m, pre_pad=False), 0.0, 1.0))}
         self._zopt_cache = {}
+
+    @property
+    def eff_params(self):
+        """Params in the layout the forward path consumes (packed grouped
+        weights when fast_trunk, the canonical pytree otherwise)."""
+        return self._packed if self.fast_trunk else self.params
+
+    def _repack(self):
+        if self.fast_trunk and self.params is not None:
+            from exsr.models.rrdb_fast import pack_grouped_params
+            g = self.generator
+            self._packed = pack_grouped_params(
+                self.params, nf=g.nf, gc=g.gc,
+                latent_channels=self.latent_channels)
+        else:
+            self._packed = None
 
     # --------------------------------------------------------------- kernels
     def set_kernel(self, kernel: np.ndarray | str | None):
@@ -140,6 +178,7 @@ class EditSession:
     # -------------------------------------------------------------- loading
     def load_params(self, params):
         self.params = params
+        self._repack()
         self._zopt_cache.clear()
 
     def init_random_params(self, seed: int = 0):
@@ -147,6 +186,7 @@ class EditSession:
         z = jnp.zeros((1, 16 * self.scale, 16 * self.scale,
                        self.latent_channels))
         self.params = self.generator.init(jax.random.PRNGKey(seed), lr, z)
+        self._repack()
         self._zopt_cache.clear()
 
     def open_image(self, image: np.ndarray, is_hr: bool = True):
@@ -172,7 +212,7 @@ class EditSession:
         return self.sr
 
     def recompute(self):
-        self.sr = np.asarray(self._fwd(self.params,
+        self.sr = np.asarray(self._fwd(self.eff_params,
                                        jnp.asarray(self.lr_image),
                                        jnp.asarray(self.cur_z)))
         return self.sr
@@ -319,12 +359,8 @@ class EditSession:
         use_prepad = not (self.fast_edit and box is not None)
 
         def forward(z):
-            return jnp.clip(self._wrapped(self.params, lr_batch, z,
-                                          margins, pre_pad=use_prepad),
-                            0.0, 1.0)
+            return self._crop_fwd[use_prepad](self.eff_params, lr_batch, z)
 
-        initial_out = np.asarray(forward(jnp.asarray(
-            np.repeat(z_full, b, axis=0))))
         # cached-compile fast path for the plain l1/brightness edit (the
         # GUI's most common loop): LR crop, desired image, and loss mask
         # flow through traced obj_args, so same-shape edits never recompile
@@ -332,6 +368,9 @@ class EditSession:
         name = objective.replace('local_', '')
         cacheable = (name == 'l1' and 'random' not in objective
                      and 'scribble' not in objective)
+        if not cacheable:  # only objective builders consume the initial SR
+            initial_out = np.asarray(forward(jnp.asarray(
+                np.repeat(z_full, b, axis=0))))
         if cacheable:
             obj_args = {
                 'lr': lr_batch,
@@ -344,7 +383,7 @@ class EditSession:
             if key not in self._zopt_cache:
                 def forward_a(z, args):
                     return jnp.clip(self._wrapped(
-                        self.params, args['lr'], z, margins,
+                        self.eff_params, args['lr'], z, margins,
                         pre_pad=use_prepad), 0.0, 1.0)
 
                 def loss_a(out, z, args):
@@ -362,8 +401,12 @@ class EditSession:
                                                 np.repeat(z_full, b,
                                                           axis=0)))
             zo = ZOptimizer(forward, loss_fn, lr=lr, z_range=self.z_range)
-        theta0 = np.asarray(atanh_init(jnp.asarray(
-            np.repeat(z_full, b, axis=0)), self.z_range))
+        # pre-tanh init on the host: tiny arrays, and every eager device op
+        # is a tunnel roundtrip (atanh_init is the device-side twin)
+        eps = np.finfo(np.float32).eps
+        theta0 = np.arctanh(np.clip(
+            np.repeat(z_full, b, axis=0) / self.z_range,
+            -1 + eps, 1 - eps)).astype(np.float32)
         if b > 1 or 'random' in objective:
             key = jax.random.PRNGKey(int(time.time() * 1e3) % (2 ** 31))
             from exsr.zopt.optimizer import xavier_uniform_like
@@ -374,43 +417,45 @@ class EditSession:
             else:
                 theta0 = rand
         theta = jnp.asarray(theta0)
-        frozen = jnp.asarray(np.repeat(
-            np.asarray(atanh_init(jnp.asarray(z_full), self.z_range)),
+        frozen = jnp.asarray(np.repeat(np.arctanh(np.clip(
+            z_full / self.z_range, -1 + eps, 1 - eps)).astype(np.float32),
             b, axis=0))
         z_mask = self._z_mask(mask_hr, z_full.shape)
 
         budget = (self.time_budget_s if time_budget_s is None
                   else time_budget_s)
         deadline = time.time() + budget
-        best_loss, best_theta = np.inf, theta
-        opt_state = None
+        best_loss, best_theta, best_z = np.inf, theta, None
         losses_hist = []
         rounds = 0
         cur_lr = lr
-        while time.time() < deadline:
-            if max_iters is not None and \
-                    rounds * self.iters_per_round >= max_iters:
-                break
-            z, theta_new, opt_state, losses = zo.optimize(
-                theta, self.iters_per_round, opt_state=opt_state,
-                z_mask=z_mask, frozen_theta=frozen, use_min_loss_z=False,
-                lr=cur_lr, obj_args=obj_args)
-            losses_hist.extend(losses.tolist())
-            if losses[-1] < best_loss:
-                best_loss, best_theta = float(losses[-1]), theta_new
-                theta = theta_new
-            else:
-                # rollback + LR/5 (GUI.py:2065-2075,2131-2134); the LR is a
-                # traced arg so this does NOT recompile the edit graph
-                theta = best_theta
-                cur_lr /= LR_DECAY_ON_PLATEAU
-                if cur_lr < 1e-5:
+        # the accept/revert + LR/5 round loop (GUI.py:2043-2134) runs
+        # INSIDE one compiled nested scan, `rounds_per_launch` rounds per
+        # device launch — through the TPU tunnel the per-launch latency
+        # (~40 ms) would otherwise dominate 5-iteration rounds
+        max_rounds = (None if max_iters is None else
+                      int(np.ceil(max_iters / self.iters_per_round)))
+        while time.time() < deadline and cur_lr >= 1e-5:
+            n_rounds = self.rounds_per_launch
+            if max_rounds is not None:
+                n_rounds = min(n_rounds, max_rounds - rounds)
+                if n_rounds <= 0:
                     break
-                opt_state = None
-            rounds += 1
-        eff = (z_mask * best_theta + (1 - z_mask) * frozen
-               if z_mask is not None else best_theta)
-        z_opt = np.asarray(self.z_range * jnp.tanh(eff))[:1]
+            z, theta, chunk_best, cur_lr, losses = zo.optimize_rounds(
+                theta, n_rounds=n_rounds,
+                iters_per_round=self.iters_per_round, lr=cur_lr,
+                z_mask=z_mask, frozen_theta=frozen,
+                lr_decay=LR_DECAY_ON_PLATEAU, obj_args=obj_args)
+            losses = losses[~np.isnan(losses)]
+            losses_hist.extend(losses.tolist())
+            rounds += int(np.ceil(len(losses) / self.iters_per_round))
+            if chunk_best < best_loss:
+                best_loss, best_theta, best_z = chunk_best, theta, z
+        if best_z is None:   # budget elapsed before any launch
+            eff = (z_mask * best_theta + (1 - z_mask) * frozen
+                   if z_mask is not None else best_theta)
+            best_z = self.z_range * jnp.tanh(eff)
+        z_opt = np.asarray(best_z)[:1]
         new_z = self.cur_z.copy()
         new_z[:, hr_slice[0], hr_slice[1]] = z_opt
         self.cur_z = new_z

@@ -143,9 +143,34 @@ class SRRaGANTrainer:
         self.d_tx = optax.chain(
             optax.scale_by_adam(b1=cfg.beta1_d, b2=cfg.beta2_d),
             optax.scale(-1.0))
-        self.d_step = jax.jit(self._d_step, static_argnames=('dual',))
-        self.g_step = jax.jit(self._g_step,
-                              static_argnames=('dual', 'use_gan'))
+        if rules is not None:
+            # explicit shardings: state replicated, batch split on the
+            # mesh's data/spatial axes — a dropped batch sharding is a
+            # compile-time change (tested via the HLO, test_parallel.py),
+            # not a silent full-replication regression; donating the state
+            # lets XLA reuse its buffers across steps.  pjit disallows
+            # kwargs alongside in_shardings, so the static flags become
+            # positional behind keyword-friendly wrappers.
+            sh = (rules.replicated, rules.batch)
+            d_jit = jax.jit(self._d_step, static_argnums=(2,),
+                            in_shardings=sh, donate_argnums=(0,))
+            g_jit = jax.jit(self._g_step, static_argnums=(2, 3),
+                            in_shardings=sh, donate_argnums=(0,))
+
+            def d_step(state, batch, dual=True):
+                return d_jit(state, batch, dual)
+
+            def g_step(state, batch, dual=True, use_gan=True):
+                return g_jit(state, batch, dual, use_gan)
+            d_step.lower = lambda state, batch, dual=True: \
+                d_jit.lower(state, batch, dual)
+            g_step.lower = lambda state, batch, dual=True, use_gan=True: \
+                g_jit.lower(state, batch, dual, use_gan)
+            self.d_step, self.g_step = d_step, g_step
+        else:
+            self.d_step = jax.jit(self._d_step, static_argnames=('dual',))
+            self.g_step = jax.jit(self._g_step,
+                                  static_argnames=('dual', 'use_gan'))
         self.eval_forward = jax.jit(self._eval_forward)
 
     # ------------------------------------------------------------------ init

@@ -72,6 +72,10 @@ class ZOptimizer:
             optax.scale_by_adam(), optax.scale(-1.0)))
         object.__setattr__(self, '_run', jax.jit(
             self._run_impl, static_argnames=('n_steps',)))
+        object.__setattr__(self, '_run_rounds', jax.jit(
+            self._run_rounds_impl,
+            static_argnames=('n_rounds', 'iters_per_round', 'lr_decay',
+                             'min_lr')))
 
     def init_state(self, pre_tanh_z: jnp.ndarray):
         return self._opt.init(pre_tanh_z)
@@ -112,6 +116,87 @@ class ZOptimizer:
         (theta, opt_state, best_loss, best_theta), losses = jax.lax.scan(
             step, init, None, length=n_steps)
         return theta, opt_state, best_loss, best_theta, losses
+
+    def _run_rounds_impl(self, theta, z_mask, frozen_theta, lr0, obj_args,
+                         n_rounds, iters_per_round, lr_decay, min_lr):
+        """The GUI's whole mini-epoch loop as ONE compiled program
+        (GUI.py:2043-2134): per round of ``iters_per_round`` Adam steps,
+        accept the round when its final loss improved on the best seen,
+        otherwise revert Z to the best, reset Adam, and divide the LR by
+        ``lr_decay``; rounds after LR < ``min_lr`` pass through.  One
+        device launch per ``n_rounds`` — amortizes the per-launch tunnel
+        latency that dominates small interactive edits."""
+        def loss_of(theta):
+            eff = self._effective(theta, z_mask, frozen_theta)
+            z = self.z_range * jnp.tanh(eff)
+            if obj_args is None:
+                return self.objective_fn(self.forward_fn(z), z)
+            out = self.forward_fn(z, obj_args)
+            return self.objective_fn(out, z, obj_args)
+
+        grad_fn = jax.value_and_grad(loss_of)
+        opt_state0 = self._opt.init(theta)
+
+        def round_body(carry, _):
+            theta, opt_state, best_loss, best_theta, lr, active = carry
+
+            def step(c, _):
+                th, st = c
+                loss, g = grad_fn(th)
+                updates, st = self._opt.update(g, st)
+                updates = jax.tree.map(lambda u: lr * u, updates)
+                return (optax.apply_updates(th, updates), st), loss
+
+            (new_theta, new_opt), losses = jax.lax.scan(
+                step, (theta, opt_state), None, length=iters_per_round)
+            improved = losses[-1] < best_loss
+
+            def sel(a, b):
+                return jax.tree.map(
+                    lambda x, y: jnp.where(improved, x, y), a, b)
+            # frozen rounds (LR exhausted) keep everything as-is
+            def keep(new, old):
+                return jax.tree.map(
+                    lambda x, y: jnp.where(active, x, y), new, old)
+            theta_n = keep(sel(new_theta, best_theta), theta)
+            opt_n = keep(sel(new_opt, self._opt.init(best_theta)),
+                         opt_state)
+            best_loss_n = jnp.where(active & improved, losses[-1],
+                                    best_loss)
+            best_theta_n = keep(sel(new_theta, best_theta), best_theta)
+            lr_n = jnp.where(active & ~improved, lr / lr_decay, lr)
+            active_n = active & (lr_n >= min_lr)
+            losses = jnp.where(active, losses, jnp.nan)
+            return (theta_n, opt_n, best_loss_n, best_theta_n, lr_n,
+                    active_n), losses
+
+        init = (theta, opt_state0, jnp.inf, theta,
+                jnp.float32(lr0), jnp.bool_(True))
+        (theta, _, best_loss, best_theta, lr, _), losses = jax.lax.scan(
+            round_body, init, None, length=n_rounds)
+        # the final Z materializes inside the same launch: each eager op
+        # after the scan would cost a full tunnel roundtrip
+        eff = self._effective(best_theta, z_mask, frozen_theta)
+        z = self.z_range * jnp.tanh(eff)
+        return z, best_theta, best_loss, lr, losses.reshape(-1)
+
+    def optimize_rounds(self, pre_tanh_z: jnp.ndarray, n_rounds: int,
+                        iters_per_round: int = 5, lr: float | None = None,
+                        z_mask: jnp.ndarray | None = None,
+                        frozen_theta: jnp.ndarray | None = None,
+                        lr_decay: float = 5.0, min_lr: float = MIN_LR,
+                        obj_args=None):
+        """Chunked-round edit: returns (z, best_theta, best_loss, final_lr,
+        losses[n_rounds*iters_per_round], NaN-padded after early stop)."""
+        if frozen_theta is None:
+            frozen_theta = pre_tanh_z
+        z, best_theta, best_loss, lr_out, losses = self._run_rounds(
+            pre_tanh_z, z_mask, frozen_theta,
+            jnp.float32(self.lr if lr is None else lr), obj_args,
+            n_rounds=n_rounds, iters_per_round=iters_per_round,
+            lr_decay=lr_decay, min_lr=min_lr)
+        return (z, best_theta, float(best_loss), float(lr_out),
+                np.asarray(losses))
 
     def optimize(self, pre_tanh_z: jnp.ndarray, max_iters: int,
                  opt_state=None, z_mask: jnp.ndarray | None = None,

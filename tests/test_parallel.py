@@ -61,3 +61,45 @@ def test_data_parallel_forward_matches_single_device():
 def test_local_batch_slice():
     s = local_batch_slice(16, process_index=1, process_count=4)
     assert (s.start, s.stop) == (4, 8)
+
+
+@pytest.mark.slow
+def test_d_step_hlo_actually_partitions_batch():
+    """Guard against silent full replication: the compiled data-parallel
+    d_step must (a) split the batch inputs across the 8-device mesh and
+    (b) contain a cross-device gradient all-reduce.  Both disappear if
+    ShardingRules.batch is dropped (SURVEY.md section 2.16)."""
+    import jax.numpy as jnp
+    from exsr.cem.cem import CEM, CEMConf, cem_wrap
+    from exsr.models.rrdb import RRDBNet
+    from exsr.train.srragan import SRRaGANTrainer, TrainConfig
+
+    cem = CEM.create(CEMConf(scale_factor=4))
+    filt = cem.device_filters(3)
+    g = RRDBNet(nb=1, nf=16, gc=8, latent_channels=3)
+    patch = 4 * (2 * cem.invalidity_margins_lr + 8)
+    lr_size = patch // 4
+    g_params = g.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, lr_size, lr_size, 3)),
+                      jnp.zeros((1, patch, patch, 3)))
+    wrapped = cem_wrap(lambda p, x, z: g.apply(p, x, z), filt, upscale=4)
+    g_apply = lambda p, x, z: wrapped(p, x, z, 0, pre_pad=False)
+    mesh = make_mesh(data=8, spatial=1)
+    rules = ShardingRules(mesh)
+    # trivial critic so the test isolates the G-side sharding
+    trainer = SRRaGANTrainer(
+        TrainConfig(optimal_z_iters=1, gan_type='vanilla'),
+        g_apply, lambda v, x, u: (x.mean(axis=(1, 2, 3)), {}),
+        margins_hr=cem.invalidity_margins_hr, rules=rules)
+    state = trainer.init_state(g_params, {'params': {}},
+                               jax.random.PRNGKey(1))
+    batch = rules.shard_batch({
+        'lr': jnp.zeros((8, lr_size, lr_size, 3)),
+        'hr': jnp.zeros((8, patch, patch, 3))})
+    lowered = trainer.g_step.lower(state, batch, dual=False, use_gan=False)
+    compiled = lowered.compile()
+    txt = compiled.as_text()
+    # batch inputs are split 8-ways on the data axis...
+    assert 'devices=[8' in txt, 'no 8-way sharded operand in the HLO'
+    # ...so the mean-loss gradient needs a cross-device reduction
+    assert 'all-reduce' in txt, 'no gradient all-reduce: batch replicated?'

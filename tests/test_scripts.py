@@ -1,0 +1,57 @@
+"""CLI tooling smoke tests (exsr/apps/scripts.py)."""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from exsr.apps import scripts
+
+
+def _write_png(path, arr01):
+    Image.fromarray((np.clip(arr01, 0, 1) * 255).astype(np.uint8)
+                    ).save(path)
+
+
+def test_results_2_video(tmp_path):
+    d = tmp_path / 'val_images'
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for step in (100, 20, 3):
+        _write_png(str(d / f'{step}_PSNR21.3.png'),
+                   rng.uniform(size=(32, 32, 3)))
+    _write_png(str(d / 'collage.png'), rng.uniform(size=(32, 32, 3)))
+    out = str(tmp_path / 'video.gif')
+    scripts.main(['results_2_video', '--images_dir', str(d),
+                  '--out', out, '--fps', '2', '--blink_seconds', '2'])
+    frames = Image.open(out)
+    # sorted steps + blink tail; PIL merges consecutive duplicate GIF
+    # frames (extending duration), so the tail may collapse
+    assert 5 <= frames.n_frames <= 3 + 2 * 2
+
+
+def test_fft_comparison_single_and_ratio(tmp_path):
+    a, b = tmp_path / 'a', tmp_path / 'b'
+    a.mkdir(), b.mkdir()
+    rng = np.random.default_rng(1)
+    # folder A: sharp (white noise) vs folder B: blurred copies
+    for i in range(3):
+        img = rng.uniform(size=(40, 40, 3))
+        _write_png(str(a / f'im{i}_SR.png'), img)
+        blur = (img + np.roll(img, 1, 0) + np.roll(img, 1, 1)
+                + np.roll(img, -1, 0)) / 4
+        _write_png(str(b / f'im{i}_other.png'), blur)
+    out1 = str(tmp_path / 'spec_single.npz')
+    scripts.main(['fft_comparison', '--folder_a', str(a), '--out', out1])
+    d = np.load(out1)
+    assert d['mean_log_spectrum'].shape == (40, 40)
+    assert d['n_images'] == 3
+    assert os.path.exists(str(tmp_path / 'spec_single.png'))
+
+    out2 = str(tmp_path / 'spec_ratio.npz')
+    scripts.main(['fft_comparison', '--folder_a', str(a),
+                  '--folder_b', str(b), '--out', out2])
+    spec = np.load(out2)['mean_log_spectrum']
+    # sharp/blur log-ratio must favor A at high frequencies: the corner
+    # of the unshifted spectrum (Nyquist) is strongly positive
+    assert spec[20, 20] > spec[0, 0]

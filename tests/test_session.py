@@ -79,10 +79,10 @@ def test_desired_svd_objective(session):
     session.set_region(mask)
     # reference outputs at Z = -1 / +1
     sr_min = np.asarray(session._fwd(
-        session.params, np.asarray(session.lr_image),
+        session.eff_params, np.asarray(session.lr_image),
         -np.ones_like(session.cur_z)))
     sr_max = np.asarray(session._fwd(
-        session.params, np.asarray(session.lr_image),
+        session.eff_params, np.asarray(session.lr_image),
         np.ones_like(session.cur_z)))
     res = session.optimize(
         'desired_SVD',
@@ -155,7 +155,7 @@ def test_set_kernel_rebuilds_cem():
         # measured pre-clipping, as the reference does (test.py:218-236);
         # the display clip(0,1) legitimately breaks exact consistency when
         # the truncated inv_hTh of estimated kernels overshoots the range
-        out = sess._wrapped(sess.params, jnp.asarray(sess.lr_image),
+        out = sess._wrapped(sess.eff_params, jnp.asarray(sess.lr_image),
                             jnp.asarray(sess.cur_z),
                             sess.cem.invalidity_margins_lr, pre_pad=True)
         down = np.asarray(consistent_downsample(

@@ -203,3 +203,24 @@ def test_calibrate_temperature_recomputes_desired_hist():
                         .astype(np.float32))
     t = shl.calibrate_temperature(other, desired_kl=1.0)
     assert np.isfinite(t) and t > 0
+
+
+def test_optimize_rounds_compiled_loop():
+    """The in-scan round loop (accept/revert + LR/lr_decay + early freeze)
+    matches the GUI semantics (GUI.py:2043-2134) on a toy objective."""
+    import jax.numpy as jnp
+    from exsr.zopt.optimizer import ZOptimizer
+
+    target = jnp.asarray([[0.3, -0.2]])
+    zo = ZOptimizer(forward_fn=lambda z: z,
+                    objective_fn=lambda out, z: ((out - target) ** 2).sum(),
+                    lr=0.3, z_range=1.0)
+    theta0 = jnp.zeros((1, 2))
+    z, theta, best_loss, final_lr, losses = zo.optimize_rounds(
+        theta0, n_rounds=12, iters_per_round=5)
+    real = losses[~np.isnan(losses)]
+    assert real[-1] <= real[0]
+    assert best_loss < 1e-3
+    np.testing.assert_allclose(np.asarray(z), np.asarray(target), atol=0.05)
+    # LR decays only on plateau rounds, never below the floor semantics
+    assert final_lr <= 0.3 + 1e-9
