@@ -16,9 +16,10 @@ def test_rrdb_param_count_matches_reference():
     reference RRDBNet with 3 latent channels (architecture.py:228-302,
     analytically: 17,060,948)."""
     m = RRDBNet(nb=23, latent_channels=3)
-    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
-                    jnp.zeros((1, 32, 32, 3)))
-    n = sum(x.size for x in jax.tree.leaves(params))
+    params = jax.eval_shape(m.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 8, 8, 3)),
+                            jnp.zeros((1, 32, 32, 3)))
+    n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     assert n == 17_060_948
 
 
