@@ -71,6 +71,42 @@ def pack_grouped_params(params, nf: int = 64, gc: int = 32,
     return packed, rest
 
 
+# phase-mixing matrix: row j of the 4-tap transposed-conv kernel takes
+# these 3x3-kernel rows (see fold_upconv_kernel)
+_M4 = np.array([[1., 0., 0.],
+                [1., 1., 0.],
+                [0., 1., 1.],
+                [0., 0., 1.]])
+
+
+def fold_upconv_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """Fold ``conv3x3(nearest_upsample(x, 2))`` into one stride-2
+    TRANSPOSED conv kernel (exact, incl. zero borders).
+
+    With nearest upsampling ``x_up[m] = x[m // 2]``, the 3x3 window of
+    output row ``2i+a`` covers only low-res rows ``{i-1, i}`` (a=0) or
+    ``{i, i+1}`` (a=1) with per-row-summed tap weights — per output phase
+    a 2-tap kernel, which is exactly a 4-tap ``lhs_dilation=2`` conv:
+    ``K4 = M @ W @ M^T`` with M = [[1,0,0],[1,1,0],[0,1,1],[0,0,1]].
+    Applied by :func:`subpixel_upconv` as a single conv producing the
+    2x-upsampled output directly — no HRxHR nearest-upsample temp (the
+    large-batch OOM driver) and fewer effective FLOPs (block.py:293-309).
+    """
+    m = jnp.asarray(_M4, k.dtype)
+    return jnp.einsum('ud,ve,deco->uvco', m, m, k)
+
+
+def subpixel_upconv(x: jnp.ndarray, k4: jnp.ndarray,
+                    b: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Apply a :func:`fold_upconv_kernel` result: one transposed conv
+    (lhs_dilation 2, 4x4 kernel, pad 2) == conv3x3(nearest_upsample(x,2))."""
+    out = jax.lax.conv_general_dilated(
+        x, k4.astype(x.dtype), (1, 1), ((2, 2), (2, 2)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return out if b is None else out + b.astype(out.dtype)
+
+
 def _rdb_grouped(x, z, e, nf: int, gc: int):
     """One residual-dense block in grouped form (block.py:196-242 math)."""
     widths = [gc, gc, gc, gc, nf]
@@ -139,10 +175,14 @@ def rrdbnet_apply_fast(params, lr, z_hr=None, *, nf: int = 64,
 
     n_up = 1 if upscale == 3 else int(np.log2(upscale))
     for i in range(n_up):
-        f = 3 if upscale == 3 else 2
-        x = nearest_upsample(x, f)
         uc = rest[f'upconv{i}']
-        x = jax.nn.leaky_relu(_conv(x, uc['kernel'], uc['bias']), 0.2)
+        if upscale == 3:
+            x = nearest_upsample(x, 3)
+            x = _conv(x, uc['kernel'], uc['bias'])
+        else:
+            x = subpixel_upconv(x, fold_upconv_kernel(uc['kernel']),
+                                uc['bias'])
+        x = jax.nn.leaky_relu(x, 0.2)
 
     h0 = rest['hr_conv0']['Conv_0']
     h_in = (jnp.concatenate([z_hr, x], -1) if z_hr is not None else x)

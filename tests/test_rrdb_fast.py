@@ -37,3 +37,21 @@ def test_pack_grouped_shapes():
     assert e['w4'].shape == (nb, 3, 3, gc, nf)
     assert set(rest) >= {'fea_conv', 'trunk_conv', 'upconv0', 'upconv1',
                          'hr_conv0', 'hr_conv1'}
+
+
+def test_subpixel_upconv_matches_nearest_then_conv():
+    """fold_upconv_kernel/subpixel_upconv == conv3x3(nearest_upsample(x,2))
+    exactly, including zero borders (block.py:293-309 semantics)."""
+    from exsr.models.rrdb_fast import fold_upconv_kernel, subpixel_upconv
+    from exsr.ops.filters import nearest_upsample
+    rng = np.random.default_rng(0)
+    for (h, w, ci, co) in [(7, 9, 5, 4), (1, 1, 3, 2), (8, 3, 16, 8)]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, ci)).astype('f'))
+        k = jnp.asarray(rng.normal(size=(3, 3, ci, co)).astype('f'))
+        b = jnp.asarray(rng.normal(size=(co,)).astype('f'))
+        ref = jax.lax.conv_general_dilated(
+            nearest_upsample(x, 2), k, (1, 1), 'SAME',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + b
+        out = subpixel_upconv(x, fold_upconv_kernel(k), b)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)
