@@ -51,14 +51,16 @@ def main():
 
     best = None
     # Conv efficiency on the v5e rises sharply with total rows (N*H*W):
-    # measured 67 img/s at batch<=96 but 146 img/s at batch 128 — sweep
-    # the large-batch regime (192+ OOMs on the 512^2 tail at 16G HBM).
-    for batch in (32, 64, 128, 160):
+    # measured 67 img/s at batch<=96 but ~160 img/s at batch 128 — sweep
+    # the large-batch regime (144+ OOMs/crashes on the 512^2 tail at 16G
+    # HBM).  Raising the scoped-VMEM budget deepens conv pipelining:
+    # measured 150 -> 161 img/s at b128 (plateau at 64-112 MiB).
+    compiler_opts = {'xla_tpu_scoped_vmem_limit_kib': '81920'}
+    for batch in (32, 64, 128):
         lr = jnp.zeros((batch, LR_SIZE, LR_SIZE, 3), jnp.float32)
         z = jnp.zeros((batch, LR_SIZE * SCALE, LR_SIZE * SCALE, 3),
                       jnp.float32)
 
-        @jax.jit
         def run_n(pk, lr, z):
             def body(carry, _):
                 out = jnp.clip(wrapped(pk, lr + 0.0 * carry, z,
@@ -70,9 +72,14 @@ def main():
             return final
 
         try:
-            float(run_n(packed, lr, z))  # compile + warm
+            lowered = jax.jit(run_n).lower(packed, lr, z)
+            try:
+                fn = lowered.compile(compiler_options=compiler_opts)
+            except Exception:  # backend without this flag: default opts
+                fn = lowered.compile()
+            float(fn(packed, lr, z))  # warm
             t0 = time.perf_counter()
-            float(run_n(packed, lr, z))  # dependent-scalar fetch = sync
+            float(fn(packed, lr, z))  # dependent-scalar fetch = sync
             dt = time.perf_counter() - t0
         except Exception as e:  # OOM at large batch: stop the sweep
             print(f'batch {batch}: {type(e).__name__}', file=sys.stderr)
