@@ -34,6 +34,7 @@ import numpy as np
 
 from exsr.cem.cem import CEM, CEMConf, cem_wrap, consistent_downsample
 from exsr.ops.structure_tensor import svd_to_latent_z
+from exsr.utils.compile import tuned_jit
 from exsr.zopt import objectives as obj
 from exsr.zopt.optimizer import ZOptimizer, atanh_init
 from exsr.zopt.histogram import SoftHistogramLoss
@@ -112,16 +113,16 @@ class EditSession:
             g_apply = lambda p, x, z: self.generator.apply(p, x, z)
         self._wrapped = cem_wrap(g_apply, self.filters,
                                  upscale=self.scale)
-        self._fwd = jax.jit(lambda p, lr, z: jnp.clip(self._wrapped(
+        self._fwd = tuned_jit(lambda p, lr, z: jnp.clip(self._wrapped(
             p, lr, z, self.cem.invalidity_margins_lr, pre_pad=True),
             0.0, 1.0))
         # shape-cached jitted forwards for cropped edit windows (an eager
         # 23-block forward is ~1000 op dispatches through the tunnel)
         m = self.cem.invalidity_margins_lr
         self._crop_fwd = {
-            True: jax.jit(lambda p, lr, z: jnp.clip(self._wrapped(
+            True: tuned_jit(lambda p, lr, z: jnp.clip(self._wrapped(
                 p, lr, z, m, pre_pad=True), 0.0, 1.0)),
-            False: jax.jit(lambda p, lr, z: jnp.clip(self._wrapped(
+            False: tuned_jit(lambda p, lr, z: jnp.clip(self._wrapped(
                 p, lr, z, m, pre_pad=False), 0.0, 1.0))}
         self._zopt_cache = {}
 

@@ -1,0 +1,34 @@
+"""Central jit wrapper with TPU-tuned XLA compiler options.
+
+Raising the scoped-VMEM budget lets the TPU backend pipeline the
+generator's conv chains more deeply: measured 150 -> 161.6 img/s on the
+4x SR forward at batch 128 on a v5e (plateau for 64-112 MiB).  CPU
+(tests / virtual meshes) gets plain ``jax.jit`` — the option is
+TPU-specific.
+"""
+from __future__ import annotations
+
+import jax
+
+TPU_COMPILER_OPTIONS = {'xla_tpu_scoped_vmem_limit_kib': '81920'}
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() != 'cpu'
+    except Exception:
+        return False
+
+
+def tuned_jit(fun=None, **jit_kwargs):
+    """``jax.jit`` with :data:`TPU_COMPILER_OPTIONS` on TPU backends.
+
+    Drop-in: ``tuned_jit(f)`` or ``@tuned_jit`` / ``tuned_jit(f,
+    static_argnums=...)``.
+    """
+    if fun is None:
+        return lambda f: tuned_jit(f, **jit_kwargs)
+    if _on_tpu() and 'compiler_options' not in jit_kwargs:
+        jit_kwargs = dict(jit_kwargs,
+                          compiler_options=TPU_COMPILER_OPTIONS)
+    return jax.jit(fun, **jit_kwargs)

@@ -32,6 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from exsr.utils.compile import tuned_jit
+
 MIN_LR = 1e-5  # Z_optimization.py:329
 
 
@@ -70,9 +72,9 @@ class ZOptimizer:
         # a rebuild-per-decay would recompile the whole edit graph
         object.__setattr__(self, '_opt', optax.chain(
             optax.scale_by_adam(), optax.scale(-1.0)))
-        object.__setattr__(self, '_run', jax.jit(
+        object.__setattr__(self, '_run', tuned_jit(
             self._run_impl, static_argnames=('n_steps',)))
-        object.__setattr__(self, '_run_rounds', jax.jit(
+        object.__setattr__(self, '_run_rounds', tuned_jit(
             self._run_rounds_impl,
             static_argnames=('n_rounds', 'iters_per_round', 'lr_decay',
                              'min_lr')))
