@@ -31,6 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from exsr.utils.compile import tuned_jit
+
 from exsr.jpeg.codec import JPEGCodec
 from exsr.losses import losses as L
 from exsr.losses.filter_loss import (FilterLossConfig, RatioStats,
@@ -136,8 +138,8 @@ class DecompTrainer:
                                 optax.scale(-1.0))
         self.d_tx = optax.chain(optax.scale_by_adam(b1=cfg.beta1),
                                 optax.scale(-1.0))
-        self.d_step = jax.jit(self._d_step, static_argnames=('dual',))
-        self.g_step = jax.jit(self._g_step,
+        self.d_step = tuned_jit(self._d_step, static_argnames=('dual',))
+        self.g_step = tuned_jit(self._g_step,
                               static_argnames=('dual', 'use_gan'))
         self.decode = jax.jit(self._decode)
 

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from exsr.utils.compile import tuned_jit
+
 from exsr.jpeg.codec import JPEGCodec
 from exsr.losses import losses as L
 from exsr.train.decomp import DecompConfig
@@ -71,7 +73,7 @@ class ChromaDecompTrainer:
                                 optax.scale(-1.0))
         self.d_tx = optax.chain(optax.scale_by_adam(b1=cfg.beta1),
                                 optax.scale(-1.0))
-        self.step_fn = jax.jit(self._step, static_argnames=('use_gan',))
+        self.step_fn = tuned_jit(self._step, static_argnames=('use_gan',))
         self.decode = jax.jit(self._decode)
 
     def init_state(self, gc_params, d_vars, rng) -> ChromaTrainState:

@@ -34,6 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from exsr.utils.compile import tuned_jit
+
 from exsr.losses import losses as L
 from exsr.losses.filter_loss import (FilterLossConfig, RatioStats,
                                      filter_loss, num_latent_channels)
@@ -152,9 +154,9 @@ class SRRaGANTrainer:
             # kwargs alongside in_shardings, so the static flags become
             # positional behind keyword-friendly wrappers.
             sh = (rules.replicated, rules.batch)
-            d_jit = jax.jit(self._d_step, static_argnums=(2,),
+            d_jit = tuned_jit(self._d_step, static_argnums=(2,),
                             in_shardings=sh, donate_argnums=(0,))
-            g_jit = jax.jit(self._g_step, static_argnums=(2, 3),
+            g_jit = tuned_jit(self._g_step, static_argnums=(2, 3),
                             in_shardings=sh, donate_argnums=(0,))
 
             def d_step(state, batch, dual=True):
@@ -168,10 +170,10 @@ class SRRaGANTrainer:
                 g_jit.lower(state, batch, dual, use_gan)
             self.d_step, self.g_step = d_step, g_step
         else:
-            self.d_step = jax.jit(self._d_step, static_argnames=('dual',))
-            self.g_step = jax.jit(self._g_step,
-                                  static_argnames=('dual', 'use_gan'))
-        self.eval_forward = jax.jit(self._eval_forward)
+            self.d_step = tuned_jit(self._d_step, static_argnames=('dual',))
+            self.g_step = tuned_jit(self._g_step,
+                                    static_argnames=('dual', 'use_gan'))
+        self.eval_forward = tuned_jit(self._eval_forward)
 
     # ------------------------------------------------------------------ init
     def init_state(self, g_params, d_vars, rng) -> GTrainState:
