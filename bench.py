@@ -22,12 +22,21 @@ import time
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
     from exsr.cem.cem import CEM, CEMConf, cem_wrap
     from exsr.models.rrdb import RRDBNet
     from exsr.models.rrdb_fast import (pack_grouped_params,
                                        rrdbnet_apply_fast)
+
+    # Persistent executable cache: the remote TPU compile of the batch-128
+    # program takes minutes (and the helper occasionally 500s on a cold
+    # build) — cache hits make repeat runs fast and deterministic.
+    jax.config.update('jax_compilation_cache_dir', os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), '.jax_cache_tpu'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
     LR_SIZE = 128
     SCALE = 4
