@@ -154,10 +154,17 @@ class SRRaGANTrainer:
             # kwargs alongside in_shardings, so the static flags become
             # positional behind keyword-friendly wrappers.
             sh = (rules.replicated, rules.batch)
+            # out state pinned replicated: with donation + an unconstrained
+            # output, GSPMD may return a state leaf sharded on a mesh axis
+            # (seen on the data x spatial mesh), which then mismatches the
+            # next step's replicated in_shardings.
+            out_sh = (rules.replicated, rules.replicated)
             d_jit = tuned_jit(self._d_step, static_argnums=(2,),
-                            in_shardings=sh, donate_argnums=(0,))
+                              in_shardings=sh, out_shardings=out_sh,
+                              donate_argnums=(0,))
             g_jit = tuned_jit(self._g_step, static_argnums=(2, 3),
-                            in_shardings=sh, donate_argnums=(0,))
+                              in_shardings=sh, out_shardings=out_sh,
+                              donate_argnums=(0,))
 
             def d_step(state, batch, dual=True):
                 return d_jit(state, batch, dual)
