@@ -264,3 +264,24 @@ def test_controller_verification_modes():
         c3.record_d({**good, 'l_d_real_0': float(rng.normal(1.0, 0.2)),
                      'l_d_fake_0': float(rng.normal(1.0, 0.2))})
     assert c3.want_g_step()
+
+
+def test_mesh_step_chain_keeps_state_replicated(tiny_setup):
+    """d_step -> g_step chaining on a data x spatial mesh: with donation
+    and unconstrained outputs GSPMD could hand back a state leaf sharded
+    on 'spatial', which then fails g_step's replicated in_shardings
+    (regression: out_shardings now pinned in SRRaGANTrainer)."""
+    cem, trainer, g_params, d_vars, lr_size, patch = tiny_setup
+    from exsr.train.srragan import SRRaGANTrainer, TrainConfig
+    mesh = make_mesh(data=4, spatial=2)
+    rules = ShardingRules(mesh)
+    tr = SRRaGANTrainer(TrainConfig(optimal_z_iters=2, steps_4_loss_std=5),
+                        trainer.g_apply, trainer.d_apply,
+                        margins_hr=trainer.margins_hr, rules=rules)
+    state = rules.replicate(tr.init_state(g_params, d_vars,
+                                          jax.random.PRNGKey(4)))
+    batch = rules.shard_batch(_batch(lr_size, patch, b=8))
+    state, d_metrics = tr.d_step(state, batch, dual=False)
+    state, g_metrics = tr.g_step(state, batch, dual=False, use_gan=True)
+    assert np.isfinite(float(d_metrics['l_d_total']))
+    assert np.isfinite(float(g_metrics['l_g_total']))
