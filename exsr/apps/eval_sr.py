@@ -54,6 +54,8 @@ def build_model(scale: int, nb: int = 23, latent_channels: int = 3,
 
 
 def main(argv=None):
+    from exsr.utils.compile import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--hr_dir', help='ground-truth HR image dir')
     p.add_argument('--lr_dir', help='LR dir (default: synthesize from HR)')

@@ -14,6 +14,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from exsr.utils.compile import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--data_dir', required=True,
                    help='uncompressed training image dir')

@@ -20,6 +20,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from exsr.utils.compile import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--opt', help='reference-style options JSON (optional)')
     p.add_argument('--hr_dir', required=True)

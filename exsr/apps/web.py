@@ -356,6 +356,8 @@ def make_server(api: SessionApi, port: int = 8000,
 
 
 def main(argv=None):
+    from exsr.utils.compile import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--port', type=int, default=8000)
     p.add_argument('--host', default='127.0.0.1')

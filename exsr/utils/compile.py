@@ -20,6 +20,25 @@ def _on_tpu() -> bool:
         return False
 
 
+def enable_persistent_cache(cache_dir: str | None = None) -> None:
+    """Turn on JAX's persistent executable cache for this process.
+
+    On the tunneled TPU the remote compile of a full-generator program
+    takes minutes; caching makes repeat CLI invocations (eval, train
+    restarts, bench) start in seconds.  Safe to call on CPU too.
+    """
+    import os
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            'EXSR_COMPILE_CACHE',
+            os.path.join(os.path.expanduser('~'), '.cache', 'exsr_xla'))
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass  # older jaxlib without the knobs: cache is best-effort
+
+
 def tuned_jit(fun=None, **jit_kwargs):
     """``jax.jit`` with :data:`TPU_COMPILER_OPTIONS` on TPU backends.
 
