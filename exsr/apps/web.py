@@ -168,6 +168,104 @@ class SessionApi:
             return fn(req)
 
 
+class JpegSessionApi(SessionApi):
+    """JSON API over a JPEGEditSession — same endpoint vocabulary as the
+    SR API where the concepts coincide (open/view/region/optimize/
+    uniform_z/undo/redo/state), JPEG-specific semantics where not
+    (GUI's JPEG mode: Y channel, 8x8-block region smearing, QF;
+    GUI.py:2328-2352 / DecompCNN_model.py:293-314)."""
+
+    def open(self, req):
+        img = _decode_image(req['image'])
+        out = self.session.open_image(img, qf=req.get('qf'))
+        return {'out_shape': list(out.shape),
+                'qf': float(self.session.qf)}
+
+    def view(self, req):
+        import jax.numpy as jnp
+        s = self.session
+        which = req.get('which', 'out')
+        if which == 'out':
+            img = None if s.out is None else s.out[0]
+        elif which == 'input':  # plain JPEG decode of the input coeffs
+            img = (None if s.comp is None else np.asarray(jnp.clip(
+                s.codec.extract(s.comp, s._qf_arr()) / 255.0, 0, 1))[0])
+        elif which == 'z':
+            img = (None if s.cur_z is None
+                   else s.cur_z[0, :, :, :3] * 0.5 + 0.5)
+        else:
+            return {'error': f'unknown view {which}'}
+        if img is None:
+            return {'error': f'no {which} image'}
+        if img.shape[-1] == 1:
+            img = np.repeat(img, 3, axis=-1)
+        return {'png': base64.b64encode(_png_bytes(img)).decode()}
+
+    def region(self, req):
+        s = self.session
+        h, w = s.region_mask.shape
+        mask = np.zeros((h, w), np.float32)
+        if 'rect' in req:
+            y0, x0, y1, x1 = [int(v) for v in req['rect']]
+            mask[max(0, y0):y1, max(0, x0):x1] = 1.0
+        elif 'polygon' in req:
+            mask = _polygon_mask(req['polygon'], (h, w))
+        else:
+            return {'error': 'rect or polygon required'}
+        s.set_region(mask)  # smeared to whole 8x8 blocks inside
+        return {'selected_px': int(s.region_mask.sum())}
+
+    def clear_region(self, req):
+        s = self.session
+        s.set_region(np.ones(s.region_mask.shape, np.float32))
+        return {'ok': True}
+
+    def optimize(self, req):
+        from exsr.utils.color import rgb2ycbcr
+        data = dict(req.get('data') or {})
+        if isinstance(data.get('desired'), str):
+            rgb = _decode_image(data['desired'])
+            data['desired'] = rgb2ycbcr(rgb, only_y=True)[None, ..., None]
+        if 'desired' not in data and 'l1' in req['objective']:
+            data['desired'] = self.session.out
+        out = self.session.optimize(req['objective'], data=data,
+                                    max_iters=int(req.get('max_iters', 25)))
+        losses = [float(v) for v in np.asarray(out['losses']).ravel()]
+        return {'final_loss': losses[-1] if losses else None,
+                'losses': losses[-10:]}
+
+    def uniform_z(self, req):
+        vals = req['values']
+        self.session.set_uniform_z3(vals[:3])
+        return {'ok': True}
+
+    def svd(self, req):
+        return {'error': 'svd control is SR-only'}
+
+    def kernel(self, req):
+        return {'error': 'kernel estimation is SR-only'}
+
+    def periodicity(self, req):
+        return {'error': 'periodicity estimation is SR-only'}
+
+    def save_z(self, req):
+        np.savez(req['path'], z=self.session.cur_z)
+        return {'ok': True, 'path': req['path']}
+
+    def load_z(self, req):
+        self.session.cur_z = np.load(req['path'])['z']
+        self.session.recompute()
+        return {'ok': True}
+
+    def state(self, req):
+        s = self.session
+        return {'has_image': s.comp is not None,
+                'can_undo': len(s._history) > 0,
+                'can_redo': len(s._redo) > 0,
+                'qf': float(s.qf),
+                'mode': 'jpeg'}
+
+
 def _polygon_mask(points, shape):
     """Scanline polygon fill (the GUI's poly region tool, GUI.py:565-614)
     without any imaging dependency."""
@@ -366,7 +464,27 @@ def main(argv=None):
     p.add_argument('--checkpoint')
     p.add_argument('--image', help='image to open at startup')
     p.add_argument('--time_budget', type=float, default=30.0)
+    p.add_argument('--mode', choices=['sr', 'jpeg'], default='sr',
+                   help="'jpeg' serves a JPEGEditSession (Y-channel "
+                        'artifact editing) instead of the SR session')
+    p.add_argument('--qf', type=int, default=10,
+                   help='JPEG quality factor (jpeg mode)')
     args = p.parse_args(argv)
+
+    if args.mode == 'jpeg':
+        from exsr.apps.jpeg_session import JPEGEditSession
+        session = JPEGEditSession(qf=args.qf,
+                                  time_budget_s=args.time_budget)
+        session.init_random_params(0)
+        if args.image:
+            from PIL import Image
+            img = np.asarray(Image.open(args.image).convert('RGB')) / 255.0
+            session.open_image(img.astype(np.float32))
+        api = JpegSessionApi(session)
+        srv = make_server(api, args.port, args.host)
+        print(f'exsr web UI (JPEG mode) at http://{args.host}:{args.port}/')
+        srv.serve_forever()
+        return
 
     from exsr.apps.session import EditSession
     session = EditSession(scale=args.scale, nb=args.nb,

@@ -101,3 +101,50 @@ def test_full_edit_flow(server, tmp_path):
     # unknown endpoint reports, not crashes
     out = _post(server, 'nope', {})
     assert 'error' in out
+
+
+@pytest.fixture(scope='module')
+def jpeg_server():
+    from exsr.apps.jpeg_session import JPEGEditSession
+    from exsr.apps.web import JpegSessionApi
+    session = JPEGEditSession(nf=16, nb=3, latent_channels=64, qf=10)
+    session.init_random_params(0)
+    api = JpegSessionApi(session)
+    srv = make_server(api, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f'http://127.0.0.1:{srv.server_address[1]}'
+    srv.shutdown()
+
+
+def test_jpeg_web_flow(jpeg_server, tmp_path):
+    """JPEG-mode thin client: open at QF -> region -> uniform z -> optimize
+    -> undo -> z save/load (GUI's JPEG tool vocabulary over HTTP)."""
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    out = _post(jpeg_server, 'open', {'image': _png_b64(img), 'qf': 10})
+    assert out['out_shape'] == [1, 64, 64, 1]
+    assert out['qf'] == 10.0
+
+    st = _post(jpeg_server, 'state', {})
+    assert st['has_image'] and st['mode'] == 'jpeg'
+
+    view = _post(jpeg_server, 'view', {'which': 'out'})
+    assert 'png' in view
+    assert 'png' in _post(jpeg_server, 'view', {'which': 'input'})
+
+    r = _post(jpeg_server, 'region', {'rect': [16, 16, 48, 48]})
+    assert r['selected_px'] == 32 * 32  # already block-aligned
+
+    u = _post(jpeg_server, 'uniform_z', {'values': [0.9, -0.4, 0.2]})
+    assert u['ok']
+
+    o = _post(jpeg_server, 'optimize', {'objective': 'max_STD',
+                                        'max_iters': 4})
+    assert o['final_loss'] is not None
+
+    assert _post(jpeg_server, 'undo', {})['ok']
+    zpath = str(tmp_path / 'z.npz')
+    assert _post(jpeg_server, 'save_z', {'path': zpath})['ok']
+    assert _post(jpeg_server, 'load_z', {'path': zpath})['ok']
+    assert _post(jpeg_server, 'svd', {'lambda0': 1})['error']
