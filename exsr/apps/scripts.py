@@ -204,6 +204,39 @@ def fft_comparison(folder_a, out_path, folder_b=None):
     return mean_spec
 
 
+def convert_torch_g(pth: str, out_dir: str, nb: int = 23,
+                    latent_channels: int = 3, scale: int = 4,
+                    nf: int = 64, gc: int = 32):
+    """Reference G checkpoint (.pth) -> orbax checkpoint consumable by
+    ``eval_sr --checkpoint`` / ``web --checkpoint`` (the reference user's
+    migration path; base_model.py:128-190 load semantics)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from exsr.models.convert import (align_params_to, convert_esrgan_rrdb,
+                                     load_torch_checkpoint)
+    from exsr.models.rrdb import RRDBNet
+    from exsr.train.checkpoints import CheckpointManager
+
+    state = load_torch_checkpoint(pth)
+    converted = convert_esrgan_rrdb(state, nb=nb,
+                                    latent_channels=latent_channels)
+    g = RRDBNet(nb=nb, nf=nf, gc=gc, upscale=scale,
+                latent_channels=latent_channels)
+    template = g.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
+                      jnp.zeros((1, 16 * scale, 16 * scale,
+                                 latent_channels))
+                      if latent_channels else None)
+    params = align_params_to(template, converted)
+    mgr = CheckpointManager(os.path.abspath(out_dir))
+    mgr.save(0, {'g_params': params}, force=True)
+    mgr.wait()
+    n = sum(x.size for x in jax.tree.leaves(params))
+    print(f'converted {pth} -> {out_dir} ({n:,} params)')
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest='cmd', required=True)
@@ -242,6 +275,18 @@ def main(argv=None):
     s.add_argument('--folder_a', required=True)
     s.add_argument('--folder_b')
     s.add_argument('--out', required=True)
+    s = sub.add_parser('convert_torch_g')
+    s.add_argument('--pth', required=True,
+                   help='reference G checkpoint (.pth; plain ESRGAN or '
+                        'trained explorable, DataParallel/CEM-wrapped ok)')
+    s.add_argument('--out', required=True,
+                   help='orbax checkpoint dir (usable as --checkpoint for '
+                        'eval_sr / web)')
+    s.add_argument('--nb', type=int, default=23)
+    s.add_argument('--latent_channels', type=int, default=3)
+    s.add_argument('--scale', type=int, default=4)
+    s.add_argument('--nf', type=int, default=64)
+    s.add_argument('--gc', type=int, default=32)
     args = p.parse_args(argv)
     if args.cmd == 'extract_subimages':
         extract_subimages(args.input_dir, args.output_dir, args.crop_size,
@@ -265,6 +310,9 @@ def main(argv=None):
                         args.blink_seconds)
     elif args.cmd == 'fft_comparison':
         fft_comparison(args.folder_a, args.out, args.folder_b)
+    elif args.cmd == 'convert_torch_g':
+        convert_torch_g(args.pth, args.out, args.nb, args.latent_channels,
+                        args.scale, args.nf, args.gc)
 
 
 if __name__ == '__main__':

@@ -52,7 +52,27 @@ def convert_esrgan_rrdb(state: dict, nb: int = 23,
     params: dict = {}
 
     def conv_entry(wkey, bkey, nz_pad):
-        kernel = _prepend_zero_in_channels(_oihw_to_hwio(get(wkey)), nz_pad)
+        """Two accepted provenances (base_model.process_loaded_state_dict
+        semantics, base_model.py:146-190): a plain ESRGAN checkpoint
+        (no Z input channels -> zero-init them, the reference's
+        warm-start path) or a TRAINED explorable checkpoint whose convs
+        already include the nz latent input channels (keep as-is)."""
+        kernel = _oihw_to_hwio(get(wkey))
+        if nz_pad > 0:
+            base_in = kernel.shape[2]
+            # if this checkpoint already carries the z channels, the
+            # matching no-z ESRGAN kernel would be nz smaller — decide by
+            # comparing against the well-known ESRGAN channel counts
+            if wkey == 'model.0.weight':
+                has_z = base_in != 3
+            elif nz_pad % 2 == 1:
+                # no-z trunk/hr ins are nf + gc*c (even for every standard
+                # config); adding an odd nz makes them odd
+                has_z = base_in % 2 == 1
+            else:
+                has_z = base_in % 32 != 0  # no-z ins are 64 + 32c
+            if not has_z:
+                kernel = _prepend_zero_in_channels(kernel, nz_pad)
         entry = {'kernel': kernel}
         if bkey in state:
             entry['bias'] = get(bkey)

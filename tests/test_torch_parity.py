@@ -235,3 +235,64 @@ def test_svhn_classifier_matches_torch(tmp_path):
     assert len(heads_flax) == len(heads_torch) == 6
     for hf, ht in zip(heads_flax, heads_torch):
         np.testing.assert_allclose(np.asarray(hf), ht.numpy(), atol=2e-4)
+
+
+def test_explorable_checkpoint_roundtrip_and_cli(tmp_path):
+    """A TRAINED explorable checkpoint (convs already include the 3 latent
+    input channels) converts without zero-padding, and the
+    `scripts convert_torch_g` CLI produces an orbax checkpoint that
+    restores to the identical forward (the reference user's migration
+    path; base_model.py:128-190)."""
+    from exsr.models.convert import convert_esrgan_rrdb, align_params_to
+    from exsr.models.rrdb import RRDBNet
+
+    nf, nb, gc, nz = 16, 2, 8, 3
+    g = RRDBNet(nf=nf, nb=nb, gc=gc, latent_channels=nz)
+    rng = np.random.default_rng(3)
+    lr = rng.uniform(size=(1, 12, 12, 3)).astype(np.float32)
+    z = (rng.uniform(size=(1, 48, 48, nz)).astype(np.float32) * 2 - 1)
+    params = g.init(jax.random.PRNGKey(5), jnp.asarray(lr), jnp.asarray(z))
+    ref_out = np.asarray(g.apply(params, jnp.asarray(lr), jnp.asarray(z)))
+
+    # export flax params -> torch-style explorable state dict (z channels
+    # KEPT, hwio -> oihw)
+    p = params['params']
+
+    def put(state, key, entry):
+        state[f'{key}.weight'] = torch.from_numpy(
+            np.asarray(entry['kernel']).transpose(3, 2, 0, 1).copy())
+        state[f'{key}.bias'] = torch.from_numpy(
+            np.asarray(entry['bias']).copy())
+
+    state = {}
+    put(state, 'model.0', p['fea_conv'])
+    for i in range(nb):
+        for r in (1, 2, 3):
+            for c in range(5):
+                stacked = p['trunk']['RRDB_0'][f'rdb{r}'][f'conv{c}'][
+                    'Conv_0']
+                put(state, f'model.1.sub.{i}.RDB{r}.conv{c + 1}.0',
+                    {k: v[i] for k, v in stacked.items()})
+    put(state, f'model.1.sub.{nb}', p['trunk_conv']['Conv_0'])
+    put(state, 'model.3', p['upconv0'])
+    put(state, 'model.6', p['upconv1'])
+    put(state, 'model.8', p['hr_conv0']['Conv_0'])
+    put(state, 'model.10', p['hr_conv1']['Conv_0'])
+
+    converted = align_params_to(
+        params, convert_esrgan_rrdb(state, nb=nb, latent_channels=nz))
+    out = np.asarray(g.apply(converted, jnp.asarray(lr), jnp.asarray(z)))
+    np.testing.assert_allclose(out, ref_out, atol=1e-6)
+
+    # CLI end-to-end: .pth -> orbax -> restore -> same forward
+    pth = str(tmp_path / 'g.pth')
+    torch.save(state, pth)
+    out_dir = str(tmp_path / 'ckpt')
+    from exsr.apps.scripts import convert_torch_g
+    from exsr.train.checkpoints import CheckpointManager
+    convert_torch_g(pth, out_dir, nb=nb, latent_channels=nz, scale=4,
+                    nf=nf, gc=gc)
+    restored = CheckpointManager(out_dir).restore({'g_params': params})
+    out2 = np.asarray(g.apply(restored['g_params'], jnp.asarray(lr),
+                              jnp.asarray(z)))
+    np.testing.assert_allclose(out2, ref_out, atol=1e-6)
