@@ -128,7 +128,11 @@ def main(argv=None):
         for _ in range(args.num_z - 1):
             zs.append(rng.uniform(-1, 1, size=zs[0].shape)
                       .astype(np.float32))
-        outs = [fwd(lr, z) for z in zs]
+        # one batched forward over the Z sweep: v5e convs get markedly
+        # more efficient with rows, so the diversity sweep is cheaper as
+        # one batch-num_z call than num_z sequential batch-1 calls
+        batched = fwd(np.repeat(lr, len(zs), 0), np.concatenate(zs, 0))
+        outs = [batched[j:j + 1] for j in range(len(zs))]
         dt = time.time() - t0
         sr0 = tensor2img(outs[0])
         rec = {'name': name, 'time_s': dt}
@@ -143,7 +147,12 @@ def main(argv=None):
                 crop_border(gt.astype(np.float64), b))
         # LR-consistency: downscale(SR) vs LR input (test.py:218-236)
         down = imresize(outs[0][0].astype(np.float64), 1.0 / args.scale)
+        # the guarantee only holds inside the invalidity margins; clamp so
+        # tiny images (interior smaller than the margins) keep >=1 px
+        # instead of producing a mean over an empty slice
         m = max(int(cem_i.invalidity_margins_lr), 1)
+        m = min(m, (min(down.shape[0], down.shape[1]) - 1) // 2)
+        m = max(m, 1)
         rec['consistency_mae'] = float(
             np.mean(np.abs(down - item['lr'])[m:-m, m:-m]))
         if args.num_z > 1:

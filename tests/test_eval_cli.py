@@ -1,0 +1,47 @@
+"""End-to-end CLI drives of eval_sr / eval_jpeg on tiny models (CPU).
+
+Reference counterparts: codes/test.py (SR batch eval: PSNR/SSIM,
+consistency, diversity std; :218-287) and test_JPEG.py.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture()
+def img_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    d = tmp_path / 'imgs'
+    d.mkdir()
+    for i in range(2):
+        arr = (rng.uniform(size=(192, 192, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f'im{i}.png')
+    return str(d)
+
+
+def test_eval_sr_cli(img_dir, tmp_path):
+    from exsr.apps import eval_sr
+    out = str(tmp_path / 'out')
+    eval_sr.main(['--hr_dir', img_dir, '--scale', '4', '--nb', '1',
+                  '--num_z', '3', '--out_dir', out, '--save_images'])
+    summary = json.load(open(os.path.join(out, 'summary.json')))['summary']
+    assert summary['num_images'] == 2
+    assert np.isfinite(summary['avg_psnr'])
+    assert np.isfinite(summary['avg_ssim'])
+    # CEM guarantee holds through the CLI path
+    assert summary['avg_consistency_mae'] < 1e-3
+    assert summary['avg_per_pixel_std'] >= 0
+    assert os.path.exists(os.path.join(out, 'im0_SR.png'))
+
+
+def test_eval_jpeg_cli(img_dir, tmp_path):
+    from exsr.apps import eval_jpeg
+    out = str(tmp_path / 'outj')
+    eval_jpeg.main(['--data_dir', img_dir, '--qf', '10', '--nf', '16',
+                    '--nb', '3', '--out_dir', out])
+    summary = json.load(open(os.path.join(out, 'summary.json')))['summary']
+    assert np.isfinite(summary['avg_psnr_jpeg'])
+    assert np.isfinite(summary['avg_psnr_decomp'])
