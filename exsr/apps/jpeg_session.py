@@ -70,6 +70,7 @@ class JPEGEditSession:
             self.qf = qf
         y = rgb2ycbcr(rgb_image.astype(np.float32), only_y=True) * 255.0
         h, w = (y.shape[0] // 8) * 8, (y.shape[1] // 8) * 8
+        self.file_q_table = None
         self.y_image = jnp.asarray(y[:h, :w][None, ..., None])
         self.comp = self.codec.compress(self.y_image, self._qf_arr(),
                                         quantize=True)
@@ -80,11 +81,28 @@ class JPEGEditSession:
         self._redo.clear()
         return self.recompute()
 
+    def open_jpeg_file(self, path: str):
+        """Open a real baseline JPEG for editing: entropy-decode its
+        quantized Y coefficients + Q table with the dependency-free JFIF
+        parser (the reference's optional jpeg2dct path, GUI.py:2425-2481).
+        """
+        with open(path, 'rb') as f:
+            return self.open_jpeg_bytes(f.read())
+
+    def open_jpeg_bytes(self, data: bytes):
+        """Byte-string variant of :meth:`open_jpeg_file` (uploads)."""
+        from exsr.jpeg.jfif import decode_jfif
+        dec = decode_jfif(data)
+        y = dec['components'][0]
+        return self.open_coefficients(y.coeffs.astype(np.float32),
+                                      y.q_table.astype(np.float64))
+
     def open_coefficients(self, coeffs: np.ndarray, q_table: np.ndarray):
         """Open a real JPEG's quantized DCT coefficients + its Q table
         (GUI.py:2425-2481; QF recovered per Set_Q_Table(QF=False),
         JPEG.py:83-86)."""
         from exsr.jpeg.codec import LUMA_Q_TABLE
+        self.file_q_table = np.asarray(q_table, np.float32)
         ratio = float(np.mean(LUMA_Q_TABLE / q_table))
         if ratio < 1:
             self.qf = 50 * ratio
@@ -102,12 +120,22 @@ class JPEGEditSession:
     def _qf_arr(self):
         return jnp.asarray([float(self.qf)])
 
+    def _q_arr(self):
+        """Exact quantization table when editing a real file (its DQT),
+        else None (codec falls back to the IJG QF-scaled table).  Using
+        the true table makes decode/consistency exact where the
+        reference's scalar-QF recovery (JPEG.py:83-86) is approximate."""
+        if getattr(self, 'file_q_table', None) is None:
+            return None
+        return jnp.asarray(self.file_q_table.reshape(1, 1, 1, 64))
+
     def recompute(self):
         coeffs = self._g_apply(self.params, self.comp,
                                jnp.asarray(self.cur_z))
         coeffs = consistency_clamp(coeffs, self.comp)  # belt & suspenders
         self.out = np.asarray(jnp.clip(
-            self.codec.extract(coeffs, self._qf_arr()) / 255.0, 0, 1))
+            self.codec.extract(coeffs, self._qf_arr(),
+                               q=self._q_arr()) / 255.0, 0, 1))
         return self.out
 
     # ---------------------------------------------------------------- state
@@ -174,6 +202,7 @@ class JPEGEditSession:
         from exsr.utils.misc import (resize_categorical_image,
                                      resize_scribble_image)
         fixed_coeffs = self.codec.compress(self.y_image, self._qf_arr(),
+                                           q=self._q_arr(),
                                            quantize=True)
         ty, tx = top_left
         th, tw = target_dims
@@ -250,7 +279,9 @@ class JPEGEditSession:
 
         def forward(z):
             coeffs = self._g_apply(self.params, comp, z)
-            return jnp.clip(self.codec.extract(coeffs, qf) / 255.0, 0, 1)
+            return jnp.clip(self.codec.extract(coeffs, qf,
+                                               q=self._q_arr())
+                            / 255.0, 0, 1)
 
         initial_out = np.asarray(forward(jnp.asarray(self.cur_z)))
         mask = self.region_mask

@@ -176,10 +176,22 @@ class JpegSessionApi(SessionApi):
     GUI.py:2328-2352 / DecompCNN_model.py:293-314)."""
 
     def open(self, req):
+        raw = base64.b64decode(req['image'].split(',')[-1])
+        if raw[:2] == b'\xff\xd8' and not req.get('recompress'):
+            # real baseline JPEG: edit ITS quantized coefficients
+            # (exact DQT), not a recompression
+            from exsr.jpeg.jfif import UnsupportedJPEGError
+            try:
+                out = self.session.open_jpeg_bytes(raw)
+                return {'out_shape': list(out.shape),
+                        'qf': float(self.session.qf),
+                        'source': 'jpeg-coefficients'}
+            except UnsupportedJPEGError:
+                pass  # progressive etc. — fall back to recompression
         img = _decode_image(req['image'])
         out = self.session.open_image(img, qf=req.get('qf'))
         return {'out_shape': list(out.shape),
-                'qf': float(self.session.qf)}
+                'qf': float(self.session.qf), 'source': 'recompressed'}
 
     def view(self, req):
         import jax.numpy as jnp

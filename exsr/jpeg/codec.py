@@ -95,18 +95,20 @@ class JPEGCodec:
 
     # --------------------------------------------------------------- luma
     def compress(self, image: jnp.ndarray, qf: jnp.ndarray,
-                 quantize: bool = True) -> jnp.ndarray:
+                 quantize: bool = True, q=None) -> jnp.ndarray:
         """[N, H, W, 1] Y image in [0,255] -> [N, H/8, W/8, 64] normalized
-        coefficients (JPEG.py:129-163)."""
+        coefficients (JPEG.py:129-163).  ``q`` overrides the IJG
+        QF-scaled table with an explicit one (e.g. a real file's DQT)."""
         assert not self.chroma_mode
-        q = self.q_tables(qf)
+        q = self.q_tables(qf) if q is None else q
         coeffs = image_to_dct(image - 128.0, bs=8) / q
         return jnp.round(coeffs) if quantize else coeffs
 
-    def extract(self, coeffs: jnp.ndarray, qf: jnp.ndarray) -> jnp.ndarray:
+    def extract(self, coeffs: jnp.ndarray, qf: jnp.ndarray,
+                q=None) -> jnp.ndarray:
         """Inverse of :meth:`compress` (JPEG.py:164-197)."""
         assert not self.chroma_mode
-        q = self.q_tables(qf)
+        q = self.q_tables(qf) if q is None else q
         return dct_to_image(coeffs * q, bs=8) + 128.0
 
     # ------------------------------------------------------------- chroma

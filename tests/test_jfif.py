@@ -1,0 +1,121 @@
+"""JFIF baseline decoder vs PIL/libjpeg ground truth."""
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from exsr.jpeg.jfif import (UnsupportedJPEGError, ZIGZAG, decode_jfif,
+                            load_jpeg_coefficients)
+
+
+def _encode(img_arr, quality, subsampling):
+    buf = io.BytesIO()
+    Image.fromarray(img_arr).save(buf, format='JPEG', quality=quality,
+                                  subsampling=subsampling)
+    return buf.getvalue()
+
+
+def _idct_plane(plane):
+    """Dequantize + IDCT one ComponentPlane back to pixel values."""
+    import jax.numpy as jnp
+    from exsr.ops.dct import dct_to_image
+    deq = plane.coeffs.astype(np.float64) * \
+        plane.q_table.reshape(-1)[None, None, :]
+    px = dct_to_image(jnp.asarray(deq[None]), bs=8)
+    # libjpeg clamps decoded samples to [0, 255]; match it
+    return np.clip(np.asarray(px)[0, :, :, 0] + 128.0, 0.0, 255.0)
+
+
+@pytest.mark.parametrize('quality,subsampling', [(90, 0), (50, 2),
+                                                 (10, 2)])
+def test_decode_matches_pil_pixels(quality, subsampling):
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 255, size=(40, 56)).astype(np.float32)
+    # smooth a bit so high-frequency clipping doesn't dominate
+    base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) / 3
+    rgb = np.repeat(base[..., None], 3, -1).astype(np.uint8)
+    data = _encode(rgb, quality, subsampling)
+
+    dec = decode_jfif(data)
+    assert dec['width'] == 56 and dec['height'] == 40
+    y = dec['components'][0]
+    # PIL's decode of its own file is the libjpeg ground truth
+    ref_y = np.asarray(Image.open(io.BytesIO(data)).convert('YCbCr'))[
+        :, :, 0].astype(np.float64)
+    ours = _idct_plane(y)[:40, :56]
+    # libjpeg fast-int IDCT vs float IDCT rounding only
+    assert np.abs(ours - ref_y).max() <= 8.0
+    assert np.abs(ours - ref_y).mean() <= 1.0
+
+
+def test_restart_markers_and_gray():
+    rng = np.random.default_rng(1)
+    arr = (rng.uniform(0, 255, size=(32, 32))).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode='L').save(buf, format='JPEG', quality=75,
+                                        restart_marker_blocks=2)
+    dec = decode_jfif(buf.getvalue())
+    assert len(dec['components']) == 1
+    ours = _idct_plane(dec['components'][0])[:32, :32]
+    ref = np.asarray(Image.open(buf)).astype(np.float64)
+    assert np.abs(ours - ref).max() <= 8.0
+    assert np.abs(ours - ref).mean() <= 1.0
+
+
+def test_progressive_rejected():
+    arr = np.zeros((16, 16), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode='L').save(buf, format='JPEG',
+                                        progressive=True)
+    with pytest.raises(UnsupportedJPEGError):
+        decode_jfif(buf.getvalue())
+
+
+def test_q_table_matches_codec_scaling():
+    """PIL/libjpeg and exsr's codec share the IJG quality formula."""
+    import jax.numpy as jnp
+    from exsr.jpeg.codec import scaled_q_table, LUMA_Q_TABLE
+    arr = np.zeros((16, 16), np.uint8)
+    for q in (10, 50, 90):
+        buf = io.BytesIO()
+        Image.fromarray(arr, mode='L').save(buf, format='JPEG', quality=q)
+        dec = decode_jfif(buf.getvalue())
+        ours = np.asarray(scaled_q_table(jnp.asarray([float(q)]),
+                                         LUMA_Q_TABLE)).reshape(8, 8)
+        diff = np.abs(dec['components'][0].q_table
+                      - np.round(ours).clip(1, 255))
+        # the reference's luminance table (JPEG.py:16) carries a known
+        # one-entry deviation from the libjpeg standard (36 vs 35 at
+        # row 5, col 1) which exsr reproduces for parity — so that single
+        # element may differ by up to one scale unit
+        mask = np.ones((8, 8), bool)
+        mask[5, 1] = False
+        assert diff[mask].max() <= 1
+        assert diff[5, 1] <= np.ceil(5000 / q / 100) + 1
+
+
+def test_session_open_jpeg_file(tmp_path):
+    from exsr.apps.jpeg_session import JPEGEditSession
+    rng = np.random.default_rng(2)
+    arr = (rng.uniform(0, 255, size=(64, 64, 3))).astype(np.uint8)
+    p = str(tmp_path / 'x.jpg')
+    Image.fromarray(arr).save(p, format='JPEG', quality=10)
+    s = JPEGEditSession(nf=16, nb=3, latent_channels=64)
+    s.init_random_params(0)
+    out = s.open_jpeg_file(p)
+    assert out.shape[1:3] == (64, 64)
+    # recovered QF lands near the encode quality (reference's
+    # Set_Q_Table(QF=False) recovery, JPEG.py:83-86)
+    assert 5 <= s.qf <= 20
+    # with the exact file DQT wired through, the session's baseline
+    # decode matches libjpeg's own decode up to IDCT rounding
+    import jax.numpy as jnp
+    base = np.asarray(jnp.clip(
+        s.codec.extract(s.comp, s._qf_arr(), q=s._q_arr()) / 255.0,
+        0, 1))
+    ref_y = np.asarray(Image.open(p).convert('YCbCr'))[:, :, 0]
+    assert np.abs(base[0, :, :, 0] * 255.0 - ref_y).mean() <= 1.0
+    # the session output (random generator) stays inside the input's
+    # quantization bins, so it cannot drift arbitrarily from the decode
+    assert np.abs(out[0, :, :, 0] * 255.0 - ref_y).mean() <= 25.0

@@ -148,3 +148,19 @@ def test_jpeg_web_flow(jpeg_server, tmp_path):
     assert _post(jpeg_server, 'save_z', {'path': zpath})['ok']
     assert _post(jpeg_server, 'load_z', {'path': zpath})['ok']
     assert _post(jpeg_server, 'svd', {'lambda0': 1})['error']
+
+
+def test_jpeg_web_opens_real_jpeg_coefficients(jpeg_server):
+    """Uploading an actual JPEG edits its own quantized coefficients
+    (exact DQT) rather than recompressing (GUI.py:2425-2481 path)."""
+    rng = np.random.default_rng(1)
+    arr = (rng.uniform(0, 255, size=(64, 64, 3))).astype(np.uint8)
+    buf = io.BytesIO()
+    from PIL import Image
+    Image.fromarray(arr).save(buf, format='JPEG', quality=20)
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    out = _post(jpeg_server, 'open', {'image': b64})
+    assert out['source'] == 'jpeg-coefficients'
+    assert 10 <= out['qf'] <= 35
+    out2 = _post(jpeg_server, 'open', {'image': b64, 'recompress': True})
+    assert out2['source'] == 'recompressed'
