@@ -71,6 +71,7 @@ class JPEGEditSession:
         y = rgb2ycbcr(rgb_image.astype(np.float32), only_y=True) * 255.0
         h, w = (y.shape[0] // 8) * 8, (y.shape[1] // 8) * 8
         self.file_q_table = None
+        self.file_chroma = None
         self.y_image = jnp.asarray(y[:h, :w][None, ..., None])
         self.comp = self.codec.compress(self.y_image, self._qf_arr(),
                                         quantize=True)
@@ -90,12 +91,49 @@ class JPEGEditSession:
             return self.open_jpeg_bytes(f.read())
 
     def open_jpeg_bytes(self, data: bytes):
-        """Byte-string variant of :meth:`open_jpeg_file` (uploads)."""
+        """Byte-string variant of :meth:`open_jpeg_file` (uploads).
+
+        Keeps the file's decoded chroma planes so edited output can be
+        recombined to color for display (the reference GUI shows the
+        edited Y composed with the input chroma, GUI.py:2443-2481)."""
         from exsr.jpeg.jfif import decode_jfif
+        from exsr.ops.dct import dct_to_image
         dec = decode_jfif(data)
         y = dec['components'][0]
-        return self.open_coefficients(y.coeffs.astype(np.float32),
-                                      y.q_table.astype(np.float64))
+        out = self.open_coefficients(y.coeffs.astype(np.float32),
+                                     y.q_table.astype(np.float64))
+        if len(dec['components']) == 3:
+            ymax_h = y.sampling[0]
+            ymax_v = y.sampling[1]
+            hpix, wpix = self.region_mask.shape
+            chroma = []
+            for comp in dec['components'][1:]:
+                deq = comp.coeffs.astype(np.float64) * \
+                    comp.q_table.reshape(-1)[None, None, :]
+                px = np.asarray(dct_to_image(jnp.asarray(deq[None]),
+                                             bs=8))[0, :, :, 0] + 128.0
+                px = np.repeat(np.repeat(px, ymax_v // comp.sampling[1],
+                                         0),
+                               ymax_h // comp.sampling[0], 1)
+                chroma.append(px[:hpix, :wpix])
+            self.file_chroma = np.stack(chroma, -1)  # [H, W, 2] in 0..255
+        return out
+
+    def compose_rgb(self) -> np.ndarray:
+        """Current edited Y composed with the opened file's chroma (JFIF
+        full-range BT.601), [H, W, 3] in [0, 1]; grayscale replicate when
+        no chroma is available."""
+        y = self.out[0, :, :, 0] * 255.0
+        ch = getattr(self, 'file_chroma', None)
+        if ch is None:
+            g = np.clip(y / 255.0, 0, 1)
+            return np.stack([g, g, g], -1)
+        cb = ch[:, :, 0] - 128.0
+        cr = ch[:, :, 1] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        return np.clip(np.stack([r, g, b], -1) / 255.0, 0.0, 1.0)
 
     def open_coefficients(self, coeffs: np.ndarray, q_table: np.ndarray):
         """Open a real JPEG's quantized DCT coefficients + its Q table
@@ -103,6 +141,7 @@ class JPEGEditSession:
         JPEG.py:83-86)."""
         from exsr.jpeg.codec import LUMA_Q_TABLE
         self.file_q_table = np.asarray(q_table, np.float32)
+        self.file_chroma = None
         ratio = float(np.mean(LUMA_Q_TABLE / q_table))
         if ratio < 1:
             self.qf = 50 * ratio

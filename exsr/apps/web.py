@@ -199,6 +199,8 @@ class JpegSessionApi(SessionApi):
         which = req.get('which', 'out')
         if which == 'out':
             img = None if s.out is None else s.out[0]
+        elif which == 'rgb':
+            img = None if s.out is None else s.compose_rgb()
         elif which == 'input':  # plain JPEG decode of the input coeffs
             img = (None if s.comp is None else np.asarray(jnp.clip(
                 s.codec.extract(s.comp, s._qf_arr()) / 255.0, 0, 1))[0])

@@ -119,3 +119,24 @@ def test_session_open_jpeg_file(tmp_path):
     # the session output (random generator) stays inside the input's
     # quantization bins, so it cannot drift arbitrarily from the decode
     assert np.abs(out[0, :, :, 0] * 255.0 - ref_y).mean() <= 25.0
+
+
+def test_session_color_composition(tmp_path):
+    """Real-JPEG open keeps chroma; compose_rgb reproduces the file's
+    colors to within JPEG loss (GUI.py:2443-2481 display path)."""
+    from exsr.apps.jpeg_session import JPEGEditSession
+    rng = np.random.default_rng(4)
+    base = rng.uniform(0, 255, size=(32, 32, 3)).astype(np.float32)
+    base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) / 3
+    arr = base.astype(np.uint8)
+    p = str(tmp_path / 'c.jpg')
+    Image.fromarray(arr).save(p, format='JPEG', quality=90)
+    s = JPEGEditSession(nf=16, nb=3, latent_channels=64)
+    s.init_random_params(0)
+    s.open_jpeg_file(p)
+    assert s.file_chroma is not None and s.file_chroma.shape == (32, 32, 2)
+    rgb = s.compose_rgb()
+    ref = np.asarray(Image.open(p)).astype(np.float64) / 255.0
+    # random-generator Y perturbation stays within quantization bins at
+    # q90 (small), chroma is the file's own: colors must be close
+    assert np.abs(rgb - ref).mean() <= 0.06
