@@ -339,7 +339,7 @@ PAGE = """<!DOCTYPE html>
    objective <input id="obj" value="l1" size="12">
    <button onclick="optimize(document.getElementById('obj').value)">run
    </button></div>
-  <div class="row">&lambda;0 <input type="range" id="l0" min="0" max="1"
+  <div class="row" id="svdrow">&lambda;0 <input type="range" id="l0" min="0" max="1"
     step="0.05" value="0.5" style="width:80px">
    &lambda;1 <input type="range" id="l1" min="0" max="1" step="0.05"
     value="0.5" style="width:80px">
@@ -352,7 +352,7 @@ PAGE = """<!DOCTYPE html>
    <button onclick="api('save_z',{path:'session_z.npz'})">save Z</button>
    <button onclick="api('load_z',{path:'session_z.npz'}).then(refresh)">
     load Z</button></div>
-  <div class="row">kernel:
+  <div class="row" id="kernelrow">kernel:
    <button onclick="api('kernel',{kind:'bicubic'}).then(refresh)">bicubic
    </button>
    <button onclick="api('kernel',{kind:'blurry_cubic_1.0'}).then(refresh)">
@@ -364,6 +364,18 @@ PAGE = """<!DOCTYPE html>
 </div>
 <script>
 const cv = document.getElementById('cv'), ctx = cv.getContext('2d');
+(async () => {  // adapt controls to the served session kind
+ const st = await api('state', {});
+ if (st.mode === 'jpeg') {
+  document.getElementById('view').innerHTML =
+   '<option>rgb</option><option>out</option><option>input</option>' +
+   '<option>z</option>';
+  document.getElementById('svdrow').style.display = 'none';
+  document.getElementById('kernelrow').style.display = 'none';
+  document.querySelector('h3').textContent =
+   'exsr — explorable JPEG decoding (QF ' + st.qf + ')';
+ }
+})();
 let imgW = 0, imgH = 0, drag = null, rect = null;
 function log(s) { const el = document.getElementById('log');
  el.textContent += s + "\\n"; el.scrollTop = el.scrollHeight; }
@@ -395,7 +407,8 @@ document.getElementById('file').onchange = (e) => {
   log('opening image...');
   const j = await api('open', {image: rd.result,
     is_hr: document.getElementById('ishr').checked});
-  log('opened: sr ' + JSON.stringify(j.sr_shape)); rect = null; refresh();
+  log('opened: ' + JSON.stringify(j.sr_shape || j.out_shape) +
+      (j.source ? ' (' + j.source + ')' : '')); rect = null; refresh();
  };
  rd.readAsDataURL(f);
 };
