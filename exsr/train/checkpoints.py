@@ -29,6 +29,11 @@ class CheckpointManager:
 
     def save(self, step: int, state, controller_state: dict | None = None,
              force: bool = False) -> bool:
+        if step in self._mgr.all_steps():
+            # e.g. the final forced save landing on a step the periodic
+            # save already wrote (niter % ckpt_freq == 0) — orbax raises
+            # StepAlreadyExistsError instead of overwriting
+            return False
         args = {'state': ocp.args.StandardSave(state)}
         if controller_state is not None:
             args['controller'] = ocp.args.JsonSave(controller_state)
