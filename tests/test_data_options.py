@@ -149,3 +149,33 @@ def test_packed_dataset_round_trip(image_dir, tmp_path):
     ds2 = PackedLRHRDataset(pack, scale=4, train=False)
     b = folder[0]
     np.testing.assert_allclose(ds2.__getitem__(0)['hr'], b['hr'], atol=1e-6)
+
+
+REFERENCE_OPTS = '/root/reference/codes/options'
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_OPTS),
+                    reason='reference checkout not present')
+def test_actual_reference_jsons_parse():
+    """Every real config shipped by the reference parses through exsr's
+    options layer (options.py:21 dialect: //-comments, NoneDict, path
+    expansion), and the flagship explorable-SR train config maps onto a
+    full typed experiment."""
+    import glob
+    paths = sorted(glob.glob(os.path.join(REFERENCE_OPTS, '*', '*.json')))
+    assert len(paths) >= 11
+    for p in paths:
+        jpeg = 'JPEG' in os.path.basename(p)
+        opt = C.parse(p, is_train='train' in os.path.basename(p),
+                      jpeg=jpeg)
+        # JPEG mode derives scale = 8 * input_downsampling
+        # (options.py JPEG branch); SR configs carry their own
+        assert opt['scale'] in (4, 8, 16), p
+
+    flag = C.parse(os.path.join(REFERENCE_OPTS, 'train',
+                                'train_explorable_SR.json'), is_train=True)
+    exp = C.experiment_from_reference_json(flag)
+    assert exp.network_g.nb == 23
+    assert exp.train.gan_type == 'wgan-gp'
+    # the virtual-batch recipe the paper trains with
+    assert flag['train']['grad_accumulation_steps_G'] >= 1
