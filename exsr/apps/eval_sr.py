@@ -76,7 +76,26 @@ def main(argv=None):
                         'the CEM with the estimated kernel '
                         '(test.py:143-148)')
     p.add_argument('--kernelgan_iters', type=int, default=3000)
+    p.add_argument('--opt', help='reference-style test options JSON '
+                                 '(test_sr.json dialect) — fills '
+                                 'scale/nb/data roots; explicit flags win')
     args = p.parse_args(argv)
+    if args.opt:
+        from exsr.options.config import parse as parse_opt
+        opt = parse_opt(args.opt, is_train=False)
+        given = set()
+        for a in (argv if argv is not None else __import__('sys').argv[1:]):
+            if a.startswith('--'):
+                given.add(a[2:].split('=')[0])
+        if 'scale' not in given and opt['scale']:
+            args.scale = int(opt['scale'])
+        if 'nb' not in given and opt['network_G'] \
+                and opt['network_G']['nb']:
+            args.nb = int(opt['network_G']['nb'])
+        if not args.hr_dir and not args.lr_dir and opt['datasets']:
+            first = next(iter(opt['datasets'].values()))
+            args.hr_dir = first.get('dataroot_HR')
+            args.lr_dir = first.get('dataroot_LR')
 
     from exsr.data.datasets import LRHRDataset, LRDataset
     from exsr.utils.metrics import (calculate_psnr, calculate_ssim,

@@ -45,3 +45,25 @@ def test_eval_jpeg_cli(img_dir, tmp_path):
     summary = json.load(open(os.path.join(out, 'summary.json')))['summary']
     assert np.isfinite(summary['avg_psnr_jpeg'])
     assert np.isfinite(summary['avg_psnr_decomp'])
+
+
+def test_eval_sr_reference_opt(img_dir, tmp_path):
+    """`--opt` accepts a reference test_sr.json-style config and fills
+    scale/nb/data roots (test.py:47-73 vocabulary)."""
+    import json as _json
+    opt = {
+        'name': 'x', 'model': 'sr', 'scale': 4,
+        'datasets': {'test_1': {'name': 's', 'mode': 'LRHR',
+                                'dataroot_HR': img_dir,
+                                'dataroot_LR': None}},
+        'path': {'root': str(tmp_path)},
+        'network_G': {'which_model_G': 'RRDB_net', 'nf': 64, 'nb': 1,
+                      'in_nc': 3, 'out_nc': 3, 'gc': 32},
+    }
+    p = tmp_path / 'topt.json'
+    p.write_text(_json.dumps(opt))
+    from exsr.apps import eval_sr
+    out = str(tmp_path / 'o')
+    eval_sr.main(['--opt', str(p), '--out_dir', out, '--max_images', '1'])
+    summary = _json.load(open(os.path.join(out, 'summary.json')))['summary']
+    assert summary['num_images'] == 1
