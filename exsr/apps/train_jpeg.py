@@ -30,6 +30,7 @@ def main(argv=None):
     p.add_argument('--niter', type=int, default=2_000_000)
     p.add_argument('--exp_dir', default='experiments/explorable_jpeg')
     p.add_argument('--print_freq', type=int, default=100)
+    p.add_argument('--val_freq', type=int, default=1000)
     p.add_argument('--ckpt_freq', type=int, default=1000)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--resume', action='store_true')
@@ -84,6 +85,42 @@ def main(argv=None):
                      qf_spec=(((args.qf_min, args.qf_max), 1.0),),
                      train=True)
     loader = DataLoader(ds, batch_size=args.batch, seed=args.seed)
+
+    val_ds = None
+    if args.val_dir:
+        val_ds = JPEGDataset(root=args.val_dir, patch_size=args.patch,
+                             qf_spec=(((args.qf_min, args.qf_max), 1.0),),
+                             train=False)
+
+    def validate(state):
+        """Reference validation recipe (train_JPEG.py:123-152): decode
+        each val patch at Z in {0, -0.5, 0.5}, report mean Y-PSNR over the
+        sweep and per-pixel STD across the Z samples (diversity)."""
+        from exsr.utils.metrics import calculate_psnr
+        z_vals = ([0.0, -0.5, 0.5]
+                  if cfg.num_latent_channels else [0.0])
+        psnrs, stds = [], []
+        for i in range(min(len(val_ds), 8)):
+            item = val_ds[i]
+            uncomp = jnp.asarray(item['uncomp'][None])
+            qf = jnp.asarray([float(item['qf'])])
+            comp = trainer.codec.compress(uncomp, qf, quantize=True)
+            hb_, wb_ = comp.shape[1:3]
+            outs = []
+            for zv in z_vals:
+                z = jnp.full((1, hb_, wb_, cfg.num_latent_channels), zv)
+                out = np.asarray(jnp.clip(
+                    trainer.decode(state.g_params, comp, z, qf), 0, 255))
+                outs.append(out[0, :, :, 0])
+                psnrs.append(calculate_psnr(
+                    out[0, :, :, 0], np.asarray(uncomp)[0, :, :, 0]))
+            if len(outs) > 1:
+                stds.append(float(np.std(np.stack(outs), 0).mean()))
+        rec = {'step': ctl.step,
+               'psnr_val': round(float(np.mean(psnrs)), 4)}
+        if stds:
+            rec['per_pix_STD_val'] = round(float(np.mean(stds)), 5)
+        print(json.dumps(rec))
     t0 = time.time()
     epoch = 0
     while ctl.step < cfg.niter:
@@ -109,6 +146,8 @@ def main(argv=None):
                 t0 = time.time()
                 print(json.dumps({'step': ctl.step,
                                   'steps_per_s': round(rate, 3)}))
+            if val_ds is not None and ctl.step % args.val_freq == 0:
+                validate(state)
             ckpts.save(ctl.step, state)
         epoch += 1
     ckpts.save(ctl.step, state, force=True)
