@@ -204,6 +204,26 @@ def fft_comparison(folder_a, out_path, folder_b=None):
     return mean_spec
 
 
+def transfer_files(source_dir: str, target_dir: str,
+                   pattern: str = 's00.png,s00_LR.png'):
+    """Copy result files whose names contain any comma-separated
+    ``pattern`` into a fresh target folder (scripts/transfer_files.py:1-16
+    — result-sharing helper; refuses to overwrite an existing target)."""
+    import shutil
+
+    assert not os.path.isdir(target_dir), \
+        f'target folder already exists: {target_dir}'
+    pats = [p for p in pattern.split(',') if p]
+    names = [n for n in sorted(os.listdir(source_dir))
+             if any(p in n for p in pats)]
+    os.makedirs(target_dir)
+    for n in names:
+        shutil.copyfile(os.path.join(source_dir, n),
+                        os.path.join(target_dir, n))
+    print(f'copied {len(names)} files to {target_dir}')
+    return len(names)
+
+
 def convert_torch_g(pth: str, out_dir: str, nb: int = 23,
                     latent_channels: int = 3, scale: int = 4,
                     nf: int = 64, gc: int = 32):
@@ -275,6 +295,10 @@ def main(argv=None):
     s.add_argument('--folder_a', required=True)
     s.add_argument('--folder_b')
     s.add_argument('--out', required=True)
+    s = sub.add_parser('transfer_files')
+    s.add_argument('--source_dir', required=True)
+    s.add_argument('--target_dir', required=True)
+    s.add_argument('--pattern', default='s00.png,s00_LR.png')
     s = sub.add_parser('convert_torch_g')
     s.add_argument('--pth', required=True,
                    help='reference G checkpoint (.pth; plain ESRGAN or '
@@ -310,6 +334,8 @@ def main(argv=None):
                         args.blink_seconds)
     elif args.cmd == 'fft_comparison':
         fft_comparison(args.folder_a, args.out, args.folder_b)
+    elif args.cmd == 'transfer_files':
+        transfer_files(args.source_dir, args.target_dir, args.pattern)
     elif args.cmd == 'convert_torch_g':
         convert_torch_g(args.pth, args.out, args.nb, args.latent_channels,
                         args.scale, args.nf, args.gc)

@@ -55,3 +55,21 @@ def test_fft_comparison_single_and_ratio(tmp_path):
     # sharp/blur log-ratio must favor A at high frequencies: the corner
     # of the unshifted spectrum (Nyquist) is strongly positive
     assert spec[20, 20] > spec[0, 0]
+
+
+def test_transfer_files(tmp_path):
+    from exsr.apps.scripts import main as scripts_main
+    src = tmp_path / 'src'
+    src.mkdir()
+    (src / 'a_s00.png').write_bytes(b'x')
+    (src / 'b_s00_LR.png').write_bytes(b'y')
+    (src / 'c_other.png').write_bytes(b'z')
+    dst = tmp_path / 'dst'
+    scripts_main(['transfer_files', '--source_dir', str(src),
+                  '--target_dir', str(dst)])
+    assert sorted(p.name for p in dst.iterdir()) == ['a_s00.png',
+                                                     'b_s00_LR.png']
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        scripts_main(['transfer_files', '--source_dir', str(src),
+                      '--target_dir', str(dst)])
