@@ -508,6 +508,10 @@ class EditSession:
                         inc if 'increase' in name else -inc)
             loss = obj.std_objective(helpers, name, desired_std)
         elif 'Mag' in name:
+            # patch-magnitude edits are inherently local (the GUI always
+            # issues them as local_Mag_*, Z_optimization.py:365-380)
+            assert helpers.indices is not None, \
+                "Mag objectives require the 'local_' prefix"
             gray = initial_out.mean(axis=-1)[0]
             patches = np.asarray(jnp.take(
                 jnp.asarray(gray.reshape(-1)), helpers.indices)).T

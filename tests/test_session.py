@@ -183,3 +183,43 @@ def test_set_kernel_rebuilds_cem():
     s.set_kernel(None)
     assert s.estimated_kernel is None
     np.testing.assert_allclose(s.cem.ds_kernel, bicubic_k)
+
+
+def test_more_objectives_smoke(session):
+    """Session-level drive of the remaining objective families: scribble
+    (+brightness classes + TV regions), Mag, TV, integer & non-integer
+    periodicity, local_* crop bucketing, and multi-alternative random l1
+    (GUI objective vocabulary, Z_optimization.py:328-760)."""
+    s = session
+    H = s.region_mask_hr.shape[0]
+    mask = np.zeros((H, H), np.float32)
+    mask[16:48, 16:48] = 1.0
+    s.set_region(mask)
+    desired = np.clip(np.asarray(s.sr) + 0.02, 0, 1)
+
+    scrib = np.zeros((H, H), np.int64)
+    scrib[20:30, 20:30] = 1       # l1-to-desired region
+    scrib[30:40, 20:30] = 2       # brighten class
+    scrib[20:30, 30:44] = 5       # TV-smoothed region id
+    r = s.optimize('scribble', data={'desired': desired,
+                                     'scribble_mask': scrib,
+                                     'brightness_factor': 0.2},
+                   max_iters=6)
+    assert np.isfinite(r['final_loss'])
+    s.undo()
+
+    for objective, data in [
+        ('local_Mag_increase', {'STD_increment': 0.02}),
+        ('TV', {}),
+        ('periodicity', {'periodicity_points': [[0, 8]]}),
+        ('periodicity_nonInt', {'periodicity_points': [[0.0, 7.5]]}),
+        ('local_l1', {'desired': desired}),
+    ]:
+        r = s.optimize(objective, data=data, max_iters=4)
+        assert np.isfinite(r['final_loss']), objective
+        s.undo()
+
+    r = s.optimize('random_l1', data={'desired': desired}, max_iters=4,
+                   n_alternatives=2)
+    assert np.isfinite(r['final_loss'])
+    s.undo()
