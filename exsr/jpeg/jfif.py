@@ -163,6 +163,9 @@ def decode_jfif(data: bytes) -> dict:
             continue
         marker = data[pos + 1]
         pos += 2
+        if marker == 0xFF:  # T.81 B.1.1.2: optional fill bytes
+            pos -= 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI

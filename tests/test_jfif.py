@@ -140,3 +140,17 @@ def test_session_color_composition(tmp_path):
     # random-generator Y perturbation stays within quantization bins at
     # q90 (small), chroma is the file's own: colors must be close
     assert np.abs(rgb - ref).mean() <= 0.06
+
+
+def test_fill_bytes_before_markers():
+    """T.81 B.1.1.2 allows 0xFF fill bytes before any marker."""
+    arr = np.full((16, 16), 128, np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode='L').save(buf, format='JPEG', quality=75)
+    data = buf.getvalue()
+    # inject fill bytes after SOI (before the first real segment)
+    padded = data[:2] + b'\xff\xff\xff' + data[2:]
+    dec = decode_jfif(padded)
+    ref = decode_jfif(data)
+    np.testing.assert_array_equal(dec['components'][0].coeffs,
+                                  ref['components'][0].coeffs)
