@@ -172,8 +172,12 @@ def main(argv=None):
         m = max(int(cem_i.invalidity_margins_lr), 1)
         m = min(m, (min(down.shape[0], down.shape[1]) - 1) // 2)
         m = max(m, 1)
-        rec['consistency_mae'] = float(
-            np.mean(np.abs(down - item['lr'])[m:-m, m:-m]))
+        if down.shape[0] > 2 * m and down.shape[1] > 2 * m:
+            rec['consistency_mae'] = float(
+                np.mean(np.abs(down - item['lr'])[m:-m, m:-m]))
+        # else: LR too small for any interior pixel after the margin
+        # crop — the guarantee has no valid region to measure, so the
+        # metric is omitted rather than reported as a NaN mean
         if args.num_z > 1:
             stack = np.stack([o[0] for o in outs])
             rec['per_pixel_std'] = float(stack.std(axis=0).mean())

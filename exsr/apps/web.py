@@ -202,8 +202,12 @@ class JpegSessionApi(SessionApi):
         elif which == 'rgb':
             img = None if s.out is None else s.compose_rgb()
         elif which == 'input':  # plain JPEG decode of the input coeffs
+            # pass the exact file DQT (q=) like every other session path,
+            # so the displayed input matches the true decode for
+            # real-file opens (recompute uses the same table)
             img = (None if s.comp is None else np.asarray(jnp.clip(
-                s.codec.extract(s.comp, s._qf_arr()) / 255.0, 0, 1))[0])
+                s.codec.extract(s.comp, s._qf_arr(),
+                                q=s._q_arr()) / 255.0, 0, 1))[0])
         elif which == 'z':
             img = (None if s.cur_z is None
                    else s.cur_z[0, :, :, :3] * 0.5 + 0.5)
@@ -502,7 +506,23 @@ def main(argv=None):
         from exsr.apps.jpeg_session import JPEGEditSession
         session = JPEGEditSession(qf=args.qf,
                                   time_budget_s=args.time_budget)
-        session.init_random_params(0)
+        if args.checkpoint:
+            # restore trained explorable-JPEG generator weights (the SR
+            # branch below does the same for RRDB); previously the jpeg
+            # branch silently ignored --checkpoint and served random
+            # weights, with consistency clamping masking the problem
+            import os
+            import jax
+            import jax.numpy as jnp
+            from exsr.train.checkpoints import CheckpointManager
+            mgr = CheckpointManager(os.path.abspath(args.checkpoint))
+            template = session.generator.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 64)),
+                jnp.zeros((1, 8, 8, session.latent_channels)))
+            session.load_params(mgr.restore(
+                {'g_params': template})['g_params'])
+        else:
+            session.init_random_params(0)
         if args.image:
             from PIL import Image
             img = np.asarray(Image.open(args.image).convert('RGB')) / 255.0

@@ -218,6 +218,14 @@ def decode_jfif(data: bytes) -> dict:
             if frame is None:
                 raise UnsupportedJPEGError('SOS before SOF')
             ns = seg[0]
+            if ns != len(frame['comps']):
+                # this decoder implements only a single interleaved scan
+                # covering every frame component (T.81 baseline subset);
+                # a non-interleaved multi-scan file would otherwise be
+                # silently decoded with interleaved-MCU geometry
+                raise UnsupportedJPEGError(
+                    f'non-interleaved scan ({ns} of '
+                    f"{len(frame['comps'])} components)")
             scan = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c:3 + 2 * c]

@@ -51,34 +51,37 @@ def convert_esrgan_rrdb(state: dict, nb: int = 23,
     nz = latent_channels
     params: dict = {}
 
-    def conv_entry(wkey, bkey, nz_pad):
+    # channel widths read off the checkpoint itself, so the exact no-z
+    # input width of every conv is known (nf = fea_conv outs, gc = RDB
+    # inner-conv outs); the z decision is then an equality check rather
+    # than a modulo heuristic (which misfired when nz was a multiple of
+    # the compared modulus, e.g. nz=32 -> 64+32 = 96 ≡ 0 mod 32)
+    nf = int(get('model.0.weight').shape[0])
+    gc = int(get('model.1.sub.0.RDB1.conv1.0.weight').shape[0])
+
+    def conv_entry(wkey, bkey, nz_pad, expect_in):
         """Two accepted provenances (base_model.process_loaded_state_dict
         semantics, base_model.py:146-190): a plain ESRGAN checkpoint
         (no Z input channels -> zero-init them, the reference's
         warm-start path) or a TRAINED explorable checkpoint whose convs
-        already include the nz latent input channels (keep as-is)."""
+        already include the nz latent input channels (keep as-is).
+        `expect_in` is the exact no-z input width for this conv."""
         kernel = _oihw_to_hwio(get(wkey))
         if nz_pad > 0:
             base_in = kernel.shape[2]
-            # if this checkpoint already carries the z channels, the
-            # matching no-z ESRGAN kernel would be nz smaller — decide by
-            # comparing against the well-known ESRGAN channel counts
-            if wkey == 'model.0.weight':
-                has_z = base_in != 3
-            elif nz_pad % 2 == 1:
-                # no-z trunk/hr ins are nf + gc*c (even for every standard
-                # config); adding an odd nz makes them odd
-                has_z = base_in % 2 == 1
-            else:
-                has_z = base_in % 32 != 0  # no-z ins are 64 + 32c
-            if not has_z:
+            if base_in == expect_in:
                 kernel = _prepend_zero_in_channels(kernel, nz_pad)
+            elif base_in != expect_in + nz_pad:
+                raise ValueError(
+                    f'{wkey}: input width {base_in} matches neither the '
+                    f'no-z width {expect_in} nor the explorable width '
+                    f'{expect_in + nz_pad} (nz={nz_pad})')
         entry = {'kernel': kernel}
         if bkey in state:
             entry['bias'] = get(bkey)
         return entry
 
-    params['fea_conv'] = conv_entry('model.0.weight', 'model.0.bias', nz)
+    params['fea_conv'] = conv_entry('model.0.weight', 'model.0.bias', nz, 3)
 
     # trunk: stacked params [nb, ...] for the scan body
     def stack(fn):
@@ -91,18 +94,19 @@ def convert_esrgan_rrdb(state: dict, nb: int = 23,
         for c in range(5):
             def one(i, r=r, c=c):
                 base = f'model.1.sub.{i}.RDB{r}.conv{c + 1}.0'
-                return conv_entry(f'{base}.weight', f'{base}.bias', nz)
+                return conv_entry(f'{base}.weight', f'{base}.bias', nz,
+                                  nf + gc * c)
             rdb[f'conv{c}'] = {'Conv_0': stack(one)}
         trunk[f'rdb{r}'] = rdb
     params['trunk'] = {'RRDB_0': trunk}  # scan body module name
     params['trunk_conv'] = {'Conv_0': conv_entry(
-        f'model.1.sub.{nb}.weight', f'model.1.sub.{nb}.bias', nz)}
-    params['upconv0'] = conv_entry('model.3.weight', 'model.3.bias', 0)
-    params['upconv1'] = conv_entry('model.6.weight', 'model.6.bias', 0)
+        f'model.1.sub.{nb}.weight', f'model.1.sub.{nb}.bias', nz, nf)}
+    params['upconv0'] = conv_entry('model.3.weight', 'model.3.bias', 0, nf)
+    params['upconv1'] = conv_entry('model.6.weight', 'model.6.bias', 0, nf)
     params['hr_conv0'] = {'Conv_0': conv_entry(
-        'model.8.weight', 'model.8.bias', nz)}
+        'model.8.weight', 'model.8.bias', nz, nf)}
     params['hr_conv1'] = {'Conv_0': conv_entry(
-        'model.10.weight', 'model.10.bias', nz)}
+        'model.10.weight', 'model.10.bias', nz, nf)}
     return {'params': params}
 
 

@@ -142,6 +142,29 @@ def test_session_color_composition(tmp_path):
     assert np.abs(rgb - ref).mean() <= 0.06
 
 
+def test_non_interleaved_scan_rejected():
+    """A multi-scan (non-interleaved) baseline file must raise
+    UnsupportedJPEGError instead of silently decoding the first scan
+    with interleaved-MCU geometry."""
+    arr = np.full((16, 16, 3), 128, np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format='JPEG', quality=75)
+    data = bytearray(buf.getvalue())
+    i = data.find(b'\xff\xda')
+    assert i >= 0
+    seg_len = int.from_bytes(data[i + 2:i + 4], 'big')
+    seg = data[i + 4:i + 2 + seg_len]
+    assert seg[0] == 3  # interleaved YCbCr scan
+    # rewrite the SOS header: single-component scan (ns=1), keep the
+    # Y component spec and the spectral-selection trailer
+    new_seg = bytes([1]) + bytes(seg[1:3]) + bytes(seg[-3:])
+    patched = (bytes(data[:i + 2])
+               + (len(new_seg) + 2).to_bytes(2, 'big') + new_seg
+               + bytes(data[i + 2 + seg_len:]))
+    with pytest.raises(UnsupportedJPEGError):
+        decode_jfif(patched)
+
+
 def test_fill_bytes_before_markers():
     """T.81 B.1.1.2 allows 0xFF fill bytes before any marker."""
     arr = np.full((16, 16), 128, np.uint8)

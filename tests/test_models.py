@@ -201,6 +201,47 @@ def test_esrgan_converter_zero_z_equivalence():
                                atol=1e-6)
 
 
+def test_esrgan_converter_z_multiple_of_gc():
+    """A trained explorable checkpoint whose nz is a multiple of 32 (so
+    every z-carrying input width is ALSO a multiple of 32) must be
+    recognized as already-z and not zero-padded a second time — the old
+    `base_in % 32 != 0` heuristic misclassified exactly this case."""
+    from exsr.models.convert import convert_esrgan_rrdb
+    nb, nf, gc, nz = 1, 32, 32, 32
+    rng = np.random.default_rng(1)
+
+    state = {}
+    def add_conv(key, cin, cout, k=3):
+        state[f'{key}.weight'] = rng.normal(
+            0, 0.05, size=(cout, cin, k, k)).astype(np.float32)
+        state[f'{key}.bias'] = np.zeros((cout,), np.float32)
+
+    add_conv('model.0', 3 + nz, nf)
+    for r in (1, 2, 3):
+        for c in range(5):
+            cin = nf + c * gc + nz   # z channels already present
+            cout = gc if c < 4 else nf
+            add_conv(f'model.1.sub.0.RDB{r}.conv{c + 1}.0', cin, cout)
+    add_conv(f'model.1.sub.{nb}', nf + nz, nf)
+    add_conv('model.3', nf, nf)
+    add_conv('model.6', nf, nf)
+    add_conv('model.8', nf + nz, nf)
+    add_conv('model.10', nf + nz, 3)
+
+    params = convert_esrgan_rrdb(state, nb=nb, latent_channels=nz)['params']
+    # no double-padding: input widths unchanged from the checkpoint
+    # (in-channels is axis -2: HWIO, or [nb]+HWIO for stacked trunk convs)
+    assert params['fea_conv']['kernel'].shape[-2] == 3 + nz
+    assert params['trunk']['RRDB_0']['rdb1']['conv2']['Conv_0'][
+        'kernel'].shape[-2] == nf + 2 * gc + nz
+    assert params['hr_conv1']['Conv_0']['kernel'].shape[-2] == nf + nz
+    # and an inconsistent width is a hard error, not a silent guess
+    state['model.8.weight'] = rng.normal(
+        0, 0.05, size=(nf, nf + 7, 3, 3)).astype(np.float32)
+    with pytest.raises(ValueError):
+        convert_esrgan_rrdb(state, nb=nb, latent_channels=nz)
+
+
 @pytest.mark.slow
 def test_perceptual_nets_shapes():
     from exsr.models.perceptual import MINCNet, ResNet101Features
