@@ -13,7 +13,6 @@ import socket
 import subprocess
 import sys
 
-import pytest
 
 _WORKER = r"""
 import sys
