@@ -42,6 +42,9 @@ def main(argv=None):
     p.add_argument('--print_freq', type=int, default=100)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--resume', action='store_true')
+    p.add_argument('--tensorboard', action='store_true',
+                   help='also write TB event files (optional dep; '
+                        'logger.py:60-81 parity)')
     args = p.parse_args(argv)
 
     import jax
@@ -57,6 +60,7 @@ def main(argv=None):
     from exsr.data.datasets import LRHRDataset, DataLoader
     from exsr.utils.metrics import calculate_psnr, crop_border
     from exsr.utils.color import tensor2img
+    from exsr.utils.logging import MetricLog, TensorboardWriter
 
     cfg = TrainConfig(scale=args.scale, patch_size=args.patch)
     if args.opt:
@@ -87,7 +91,12 @@ def main(argv=None):
                        upscale=cfg.scale)
     g_apply = lambda pp, x, z: wrapped(pp, x, z, 0, pre_pad=False)
 
-    mesh = make_mesh(spatial=1)
+    # data axis must divide the batch: use the largest device count that
+    # does (all devices in the flagship configs; fewer for tiny batches)
+    import math
+    n_data = math.gcd(args.batch, len(jax.devices()))
+    mesh = make_mesh(data=n_data, spatial=1,
+                     devices=jax.devices()[:n_data])
     rules = ShardingRules(mesh)
     trainer = SRRaGANTrainer(cfg, g_apply, flax_d_adapter(d),
                              margins_hr=cem.invalidity_margins_hr,
@@ -106,6 +115,13 @@ def main(argv=None):
         base_lr=min(cfg.lr_g, cfg.lr_d))
 
     os.makedirs(args.exp_dir, exist_ok=True)
+    # persistent training curves: logs.npz + PDF dashboards (the
+    # reference's save_log/display_log_figure, SRRaGAN_model.py:644-675,
+    # base_model.py:211-274) and an optional tensorboard stream
+    mlog = MetricLog()
+    log_path = os.path.join(args.exp_dir, 'logs.npz')
+    tb = (TensorboardWriter(os.path.join(args.exp_dir, 'tb'))
+          if args.tensorboard else None)
     ckpts = CheckpointManager(os.path.abspath(
         os.path.join(args.exp_dir, 'ckpt')), max_to_keep=3,
         save_interval_steps=args.ckpt_freq)
@@ -119,6 +135,10 @@ def main(argv=None):
             ctl.lr_scale = ctl_state['lr_scale']
             state = state.replace(
                 lr_scale=jnp.asarray(ctl.lr_scale, jnp.float32))
+        if os.path.exists(log_path):
+            # drop any curve points past the restored step (load_log's
+            # max-step truncation, SRRaGAN_model.py:654-675)
+            mlog.load(log_path, max_step=ctl.step)
         print(f'resumed at step {ctl.step}')
 
     ds = LRHRDataset(hr_root=args.hr_dir, lr_root=args.lr_dir,
@@ -150,8 +170,12 @@ def main(argv=None):
                 crop_border(sr.astype(np.float64), cfg.scale),
                 crop_border(gt.astype(np.float64), cfg.scale)))
             stds.append(float(np.stack(outs).std(axis=0).mean()))
-        print(json.dumps({'step': step, 'psnr_val': float(np.mean(psnrs)),
-                          'per_pix_STD_val': float(np.mean(stds))}))
+        rec = {'psnr_val': float(np.mean(psnrs)),
+               'per_pix_STD_val': float(np.mean(stds))}
+        print(json.dumps({'step': step, **rec}))
+        mlog.append(step, **rec)
+        if tb is not None:
+            tb.log(step, **rec)
 
     t0 = time.time()
     epoch = 0
@@ -201,6 +225,10 @@ def main(argv=None):
                 t0 = time.time()
                 print(json.dumps({'step': ctl.step, **{
                     k: round(v, 5) for k, v in log_accum.items()}}))
+                mlog.append(ctl.step, **log_accum)
+                if tb is not None:
+                    tb.log(ctl.step, **log_accum)
+                mlog.save(log_path)
             if val_ds and ctl.step % args.val_freq == 0:
                 validate(ctl.step)
             ckpts.save(ctl.step, state, controller_state={
@@ -210,8 +238,16 @@ def main(argv=None):
                 'verified_d_saved': ctl.verified_d_saved,
                 'lr_scale': ctl.lr_scale})
         epoch += 1
-    ckpts.save(ctl.step, state, force=True)
+    ckpts.save(ctl.step, state, force=True, controller_state={
+        'step': ctl.step,
+        'generator_started_learning': ctl.generator_started_learning,
+        'verified_d_saved': ctl.verified_d_saved,
+        'lr_scale': ctl.lr_scale})
     ckpts.wait()
+    mlog.save(log_path)
+    mlog.dashboard(os.path.join(args.exp_dir, 'dashboards'))
+    if tb is not None:
+        tb.close()
     print('training done at step', ctl.step)
 
 

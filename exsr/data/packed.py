@@ -60,6 +60,80 @@ class PackedImageDataset:
         return self.index[i]['name']
 
 
+def _require_lmdb():
+    try:
+        import lmdb
+    except ImportError as e:  # pragma: no cover - image has no lmdb
+        raise ImportError(
+            'lmdb is not installed in this environment; use the .pack '
+            'format (pack_images/PackedImageDataset) instead') from e
+    return lmdb
+
+
+class LmdbImageDataset:
+    """Reader for the reference's lmdb layout, behind an import guard.
+
+    Format (scripts/create_lmdb.py:38-52, data/util.py:85-93): raw uint8
+    image bytes under ``<name>``, shape under ``<name>.meta`` as
+    ``"H, W, C"``; images were written by cv2 so they are stored BGR and
+    converted to RGB here (read_img's BGR convention, data/util.py:95-109).
+    Same interface as PackedImageDataset, so it drops into
+    PackedLRHRDataset via the ``reader`` hook.
+    """
+
+    def __init__(self, lmdb_path: str):
+        lmdb = _require_lmdb()
+        self._env = lmdb.open(lmdb_path, readonly=True, lock=False,
+                              readahead=False, meminit=False)
+        with self._env.begin(write=False) as txn:
+            keys = [k.decode('ascii') for k, _ in txn.cursor()]
+        self._names = sorted(k for k in keys if not k.endswith('.meta'))
+
+    def __len__(self):
+        return len(self._names)
+
+    def read(self, i: int) -> np.ndarray:
+        name = self._names[i]
+        with self._env.begin(write=False) as txn:
+            buf = txn.get(name.encode('ascii'))
+            meta = txn.get((name + '.meta').encode('ascii')).decode('ascii')
+        h, w, c = [int(s) for s in meta.split(',')]
+        arr = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, c)
+        if c == 1:
+            arr = np.repeat(arr, 3, axis=2)
+        else:
+            arr = arr[:, :, :3][:, :, ::-1]  # BGR (cv2-written) -> RGB
+        return np.asarray(arr, dtype=np.float32) / 255.0
+
+    def name(self, i: int) -> str:
+        return self._names[i]
+
+
+def create_lmdb(input_dir: str, out_path: str) -> int:
+    """Write every image under input_dir into the reference's lmdb layout
+    (scripts/create_lmdb.py equivalent; requires the optional lmdb dep)."""
+    lmdb = _require_lmdb()
+    from exsr.data.datasets import list_images
+    from PIL import Image
+    paths = list_images(input_dir)
+    arrays = []
+    total = 0
+    for path in paths:
+        arr = np.asarray(Image.open(path).convert('RGB'), dtype=np.uint8)
+        arrays.append(arr[:, :, ::-1])  # store BGR like cv2.imread
+        total += arr.nbytes
+    env = lmdb.open(out_path, map_size=max(total * 4, 1 << 20))
+    with env.begin(write=True) as txn:
+        for path, arr in zip(paths, arrays):
+            base = os.path.splitext(os.path.basename(path))[0]
+            h, w, c = arr.shape
+            txn.put(base.encode('ascii'), np.ascontiguousarray(arr))
+            txn.put((base + '.meta').encode('ascii'),
+                    f'{h:d}, {w:d}, {c:d}'.encode('ascii'))
+    env.close()
+    return len(paths)
+
+
 class PackedLRHRDataset:
     """LRHR pairs from a packed HR blob with on-the-fly consistent LR
     (drop-in alternative to LRHRDataset for packed data)."""
@@ -67,8 +141,13 @@ class PackedLRHRDataset:
     def __init__(self, pack_path: str, scale: int,
                  patch_size: int | None = None, train: bool = True,
                  use_flip: bool = True, use_rot: bool = True,
-                 registry=None):
-        self.packed = PackedImageDataset(pack_path)
+                 registry=None, reader=None):
+        if reader is not None:
+            self.packed = reader
+        elif pack_path.endswith('.lmdb'):
+            self.packed = LmdbImageDataset(pack_path)
+        else:
+            self.packed = PackedImageDataset(pack_path)
         self.scale = scale
         self.patch_size = patch_size
         self.train = train

@@ -51,7 +51,18 @@ class CheckpointManager:
         step = self._mgr.latest_step() if step is None else step
         args = {'state': ocp.args.StandardRestore(state_template)}
         if with_controller:
-            args['controller'] = ocp.args.JsonRestore()
+            try:
+                has_ctl = 'controller' in (
+                    self._mgr.item_metadata(step) or {})
+            except Exception:
+                has_ctl = False
+            if has_ctl:
+                args['controller'] = ocp.args.JsonRestore()
+            else:
+                with_controller = False
+                restored = self._mgr.restore(
+                    step, args=ocp.args.Composite(**args))
+                return restored['state'], None
         restored = self._mgr.restore(step, args=ocp.args.Composite(**args))
         if with_controller:
             return restored['state'], restored.get('controller')

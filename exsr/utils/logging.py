@@ -111,6 +111,40 @@ class JsonlLogger:
         self._f.flush()
 
 
+class TensorboardWriter:
+    """Optional TensorBoard scalar writer (the reference's tensorboard
+    option, utils/logger.py:60-81), behind an import guard.  When no
+    tensorboard backend is installed this degrades to a silent no-op so
+    callers can construct it unconditionally; ``active`` reports whether
+    events are actually being written."""
+
+    def __init__(self, log_dir: str):
+        self._w = None
+        for mod, cls in (('torch.utils.tensorboard', 'SummaryWriter'),
+                         ('tensorboardX', 'SummaryWriter')):
+            try:
+                import importlib
+                self._w = getattr(importlib.import_module(mod), cls)(
+                    log_dir)
+                break
+            except Exception:
+                continue
+
+    @property
+    def active(self) -> bool:
+        return self._w is not None
+
+    def log(self, step: int, **scalars):
+        if self._w is None:
+            return
+        for k, v in scalars.items():
+            self._w.add_scalar(k, float(v), int(step))
+
+    def close(self):
+        if self._w is not None:
+            self._w.close()
+
+
 class StepTimer:
     def __init__(self, ema: float = 0.9):
         self._t = time.perf_counter()

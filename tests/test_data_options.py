@@ -179,3 +179,53 @@ def test_actual_reference_jsons_parse():
     assert exp.train.gan_type == 'wgan-gp'
     # the virtual-batch recipe the paper trains with
     assert flag['train']['grad_accumulation_steps_G'] >= 1
+
+
+def test_lmdb_reader_optional(image_dir, tmp_path):
+    """Reference lmdb layout round-trip (create_lmdb.py, data/util.py:85-93);
+    skipped when the optional lmdb dependency is absent."""
+    pytest.importorskip('lmdb')
+    from exsr.data.packed import (LmdbImageDataset, PackedImageDataset,
+                                  create_lmdb)
+    out = str(tmp_path / 'imgs.lmdb')
+    n = create_lmdb(image_dir, out)
+    ds = LmdbImageDataset(out)
+    assert len(ds) == n == 4
+    # contents identical to the direct (PIL) read path
+    from exsr.data.datasets import list_images
+    from PIL import Image
+    by_name = {os.path.splitext(os.path.basename(p))[0]: p
+               for p in list_images(image_dir)}
+    for i in range(len(ds)):
+        ref = np.asarray(Image.open(by_name[ds.name(i)]).convert('RGB'),
+                         dtype=np.float32) / 255.0
+        np.testing.assert_array_equal(ds.read(i), ref)
+
+
+def test_lmdb_import_guard_message(tmp_path, monkeypatch):
+    """Without lmdb, the reader raises a pointed ImportError mentioning the
+    .pack alternative instead of a bare ModuleNotFoundError."""
+    import builtins
+    import exsr.data.packed as packed
+    real_import = builtins.__import__
+
+    def fake_import(name, *a, **k):
+        if name == 'lmdb':
+            raise ImportError('No module named lmdb')
+        return real_import(name, *a, **k)
+    monkeypatch.setattr(builtins, '__import__', fake_import)
+    with pytest.raises(ImportError, match='pack'):
+        packed.LmdbImageDataset(str(tmp_path / 'x.lmdb'))
+
+
+def test_tensorboard_writer_optional(tmp_path):
+    """TensorboardWriter degrades to a no-op without a backend and writes
+    event files when one is installed (logger.py:60-81 parity)."""
+    from exsr.utils.logging import TensorboardWriter
+    w = TensorboardWriter(str(tmp_path / 'tb'))
+    w.log(1, loss=0.5, psnr=30.0)   # must never raise either way
+    w.log(2, loss=0.4)
+    w.close()
+    if w.active:
+        files = os.listdir(str(tmp_path / 'tb'))
+        assert any('tfevents' in f for f in files)

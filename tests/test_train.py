@@ -285,3 +285,40 @@ def test_mesh_step_chain_keeps_state_replicated(tiny_setup):
     state, g_metrics = tr.g_step(state, batch, dual=False, use_gan=True)
     assert np.isfinite(float(d_metrics['l_d_total']))
     assert np.isfinite(float(g_metrics['l_g_total']))
+
+
+@pytest.mark.slow
+def test_train_sr_cli_end_to_end(tmp_path):
+    """train_sr CLI at a tiny config: data -> compiled steps -> checkpoint
+    -> logs.npz + PDF dashboards -> resume continues from the restored
+    step (train.py:21-204 surface, run end-to-end rather than per-piece)."""
+    import os
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    hr_dir = tmp_path / 'hr'
+    hr_dir.mkdir()
+    for i in range(3):
+        arr = (rng.uniform(size=(128, 128, 3)) * 255).astype('uint8')
+        Image.fromarray(arr).save(hr_dir / f'im{i}.png')
+    exp = str(tmp_path / 'exp')
+    args = ['--hr_dir', str(hr_dir), '--val_hr_dir', str(hr_dir),
+            '--scale', '4', '--patch', '112', '--batch', '2',
+            '--nb', '1', '--nf', '8', '--d_nb', '4', '--d_nf', '8',
+            '--d_strides', '1', '--exp_dir', exp, '--print_freq', '1',
+            '--val_freq', '2', '--ckpt_freq', '2']
+    from exsr.apps.train_sr import main
+    main(args + ['--niter', '3'])
+    assert os.path.exists(os.path.join(exp, 'logs.npz'))
+    assert any(f.endswith('.pdf')
+               for f in os.listdir(os.path.join(exp, 'dashboards')))
+    from exsr.utils.logging import MetricLog
+    m = MetricLog()
+    m.load(os.path.join(exp, 'logs.npz'))
+    assert m.last('psnr_val') is not None      # validation ran
+    assert m.last('l_d_total') is not None     # D actually stepped
+    # resume: continues past the restored step to the new niter
+    main(args + ['--niter', '5', '--resume'])
+    m2 = MetricLog()
+    m2.load(os.path.join(exp, 'logs.npz'))
+    steps = [int(s) for s, _ in m2.series.get('l_d_total', [])]
+    assert max(steps) >= 4
