@@ -152,6 +152,122 @@ class SessionApi:
                                                  req['points'])
         return {'vectors': [list(map(float, v)) for v in vecs]}
 
+    # -------- imprint / HSV / digit tools (GUI.py:857-1283, 1552-1585,
+    # 1517-1547 — the editing pillar beyond masked objectives) --------
+    def _decode_imprint(self, req):
+        imp = _decode_image(req['image'])
+        if req.get('size'):
+            from PIL import Image
+            h, w = [int(v) for v in req['size']]
+            imp = np.asarray(Image.fromarray(
+                (imp * 255 + 0.5).astype(np.uint8)).resize(
+                    (w, h), Image.BILINEAR)).astype(np.float32) / 255.0
+        if req.get('angle'):
+            from PIL import Image
+            imp = np.asarray(Image.fromarray(
+                (imp * 255 + 0.5).astype(np.uint8)).rotate(
+                    float(req['angle']), Image.BILINEAR)
+                ).astype(np.float32) / 255.0
+        return imp
+
+    def _search_mask(self, req):
+        s = self.session
+        if 'search_rect' in req:
+            mask = np.zeros(s.region_mask_hr.shape, np.float32)
+            y0, x0, y1, x1 = [int(v) for v in req['search_rect']]
+            mask[max(0, y0):y1, max(0, x0):x1] = 1.0
+            return mask
+        m = s.region_mask_hr
+        return m if m.min() < 1 else np.ones_like(m)
+
+    def find_imprint_location(self, req):
+        """Auto-location search only (FindOptimalImprintingLocation,
+        GUI.py:887-961) — returns the best placement without committing."""
+        imp = self._decode_imprint(req)
+        found = self.session.find_optimal_imprint_location(
+            imp, self._search_mask(req),
+            n_trials=int(req.get('n_trials', 200)),
+            seed=int(req.get('seed', 0)))
+        return {'position': [int(v) for v in found['position']],
+                'consistency_error': float(found['consistency_error'])}
+
+    def imprint(self, req):
+        """Place an imprint (uploaded image) at a given or auto-located HR
+        position: composite, enforce LR-consistency, pull Z toward it
+        (GUI.py:857-1283 imprinting flow)."""
+        imp = self._decode_imprint(req)
+        result = {}
+        pos = req.get('position')
+        if pos is None or req.get('auto'):
+            found = self.session.find_optimal_imprint_location(
+                imp, self._search_mask(req),
+                n_trials=int(req.get('n_trials', 200)),
+                seed=int(req.get('seed', 0)))
+            pos = found['position']
+            result['consistency_error'] = float(found['consistency_error'])
+        out = self.session.imprint(
+            imp, (int(pos[0]), int(pos[1])),
+            optimize_iters=int(req.get('optimize_iters', 25)))
+        result.update({'position': [int(pos[0]), int(pos[1])],
+                       'final_loss': out['final_loss'],
+                       'rounds': out['rounds']})
+        return result
+
+    def hsv(self, req):
+        """HSV edit via consistency enforcement (GUI.py:1552-1585): scale
+        hue/saturation/value of the current SR inside the selected region,
+        make it LR-consistent, and pull Z toward the result."""
+        s = self.session
+        if s.sr is None:
+            return {'error': 'no image open'}
+        from PIL import Image
+        cur = np.clip(np.asarray(s.sr[0]), 0, 1)
+        hsv = np.asarray(Image.fromarray(
+            (cur * 255 + 0.5).astype(np.uint8)).convert('HSV'),
+            dtype=np.float32)
+        hsv[..., 0] = (hsv[..., 0]
+                       + float(req.get('hue_shift', 0.0)) / 360.0 * 255.0
+                       ) % 255.0
+        hsv[..., 1] = np.clip(hsv[..., 1] * float(req.get('sat', 1.0)),
+                              0, 255)
+        hsv[..., 2] = np.clip(hsv[..., 2] * float(req.get('val', 1.0)),
+                              0, 255)
+        edited = np.asarray(Image.fromarray(
+            hsv.astype(np.uint8), mode='HSV').convert('RGB'),
+            dtype=np.float32) / 255.0
+        m = s.region_mask_hr[..., None]
+        edited = m * edited + (1 - m) * cur
+        consistent = s.enforce_hsv_edit(edited)
+        out = s.optimize(
+            'l1', data={'desired': consistent[None].astype(np.float32)},
+            max_iters=int(req.get('optimize_iters', 25)))
+        return {'final_loss': out['final_loss'], 'rounds': out['rounds']}
+
+    def digit(self, req):
+        """SVHN digit exploration (GUI.py:1517-1547): optimize Z so the
+        selected region classifies as the requested digit."""
+        if getattr(self, '_svhn_apply', None) is None:
+            import jax
+            import jax.numpy as jnp
+            from exsr.models.classifiers import (SVHNClassifier,
+                                                 load_svhn_torch_state_dict)
+            clf = SVHNClassifier()
+            if req.get('weights'):
+                variables = load_svhn_torch_state_dict(req['weights'])
+            else:
+                variables = clf.init(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, 54, 54, 3)))
+            self._svhn_apply = lambda x: clf.apply(variables, x)
+        out = self.session.optimize(
+            'digit',
+            data={'classifier_apply': self._svhn_apply,
+                  'digit_2_resemble': int(req.get('digit', 0)),
+                  'multiview_classification':
+                      tuple(req.get('multiview', (1, 3)))},
+            max_iters=req.get('max_iters'),
+            time_budget_s=req.get('time_budget_s'))
+        return {'final_loss': out['final_loss'], 'rounds': out['rounds']}
+
     def state(self, req):
         s = self.session
         return {'has_image': s.lr_image is not None,
@@ -275,6 +391,51 @@ class JpegSessionApi(SessionApi):
         self.session.recompute()
         return {'ok': True}
 
+    def imprint(self, req):
+        """JPEG imprint: composite the uploaded image's Y channel at the
+        given position and pull Z toward it within the footprint (the
+        JPEG GUI's imprint flow; border refinement is available at the
+        session level via find_optimal_imprint_mask, GUI.py:963-1048)."""
+        s = self.session
+        if s.out is None:
+            return {'error': 'no image open'}
+        from exsr.utils.color import rgb2ycbcr
+        imp = _decode_image(req['image'])
+        if req.get('size'):
+            from PIL import Image
+            h, w = [int(v) for v in req['size']]
+            imp = np.asarray(Image.fromarray(
+                (imp * 255 + 0.5).astype(np.uint8)).resize(
+                    (w, h), Image.BILINEAR)).astype(np.float32) / 255.0
+        imp_y = rgb2ycbcr(imp, only_y=True)
+        pos = req.get('position', [0, 0])
+        y, x = int(pos[0]), int(pos[1])
+        ih, iw = imp_y.shape[:2]
+        desired = np.asarray(s.out[0, :, :, 0]).copy()
+        desired[y:y + ih, x:x + iw] = imp_y
+        mask = np.zeros(s.region_mask.shape, np.float32)
+        mask[y:y + ih, x:x + iw] = 1.0
+        s.set_region(mask)
+        out = s.optimize(
+            'l1', data={'desired': desired[None, ..., None]},
+            max_iters=int(req.get('optimize_iters', 25)))
+        losses = [float(v) for v in np.asarray(out['losses']).ravel()]
+        return {'position': [y, x],
+                'final_loss': losses[-1] if losses else None}
+
+    def find_imprint_location(self, req):
+        return {'error': 'auto-location is SR-only; the JPEG session '
+                         'refines imprint rects via '
+                         'find_optimal_imprint_mask instead'}
+
+    def hsv(self, req):
+        return {'error': 'HSV editing is SR-only (the JPEG session edits '
+                         'the Y channel)'}
+
+    def digit(self, req):
+        return {'error': "the JPEG session's objective set has no digit "
+                         'objective (l1/STD/TV)'}
+
     def state(self, req):
         s = self.session
         return {'has_image': s.comp is not None,
@@ -350,6 +511,30 @@ PAGE = """<!DOCTYPE html>
    &theta; <input type="range" id="th" min="0" max="6.28" step="0.1"
     value="0" style="width:80px">
    <button onclick="svd()">apply SVD Z</button></div>
+  <div class="row" id="scribblerow">
+   <label><input type="checkbox" id="paintmode">scribble</label>
+   class <select id="sclass"><option value="1">color</option>
+    <option value="2">brighten</option><option value="3">darken</option>
+    <option value="4">TV region</option></select>
+   <input type="color" id="scolor" value="#ff0000">
+   width <input id="swidth" value="3" size="2">
+   <button onclick="clearScribble()">clear</button>
+   <button onclick="runScribble()">run scribble</button></div>
+  <div class="row" id="imprintrow">imprint:
+   <input type="file" id="impfile">
+   <label><input type="checkbox" id="impauto">auto-locate</label>
+   <button onclick="doImprint(false)">place in region</button>
+   <button onclick="doImprint(true)">find location</button></div>
+  <div class="row" id="hsvrow">hue <input type="range" id="hue"
+    min="-180" max="180" step="5" value="0" style="width:70px">
+   sat <input type="range" id="sat" min="0" max="2" step="0.1" value="1"
+    style="width:70px">
+   val <input type="range" id="val" min="0" max="2" step="0.1" value="1"
+    style="width:70px">
+   <button onclick="hsvEdit()">apply HSV</button></div>
+  <div class="row" id="digitrow">digit
+   <input id="digitn" value="3" size="2">
+   <button onclick="digitEdit()">resemble digit</button></div>
   <div class="row">
    <button onclick="api('undo',{}).then(refresh)">undo</button>
    <button onclick="api('redo',{}).then(refresh)">redo</button>
@@ -376,6 +561,10 @@ const cv = document.getElementById('cv'), ctx = cv.getContext('2d');
    '<option>z</option>';
   document.getElementById('svdrow').style.display = 'none';
   document.getElementById('kernelrow').style.display = 'none';
+  document.getElementById('scribblerow').style.display = 'none';
+  document.getElementById('hsvrow').style.display = 'none';
+  document.getElementById('digitrow').style.display = 'none';
+  document.getElementById('impauto').parentElement.style.display = 'none';
   document.querySelector('h3').textContent =
    'exsr — explorable JPEG decoding (QF ' + st.qf + ')';
  }
@@ -399,6 +588,8 @@ async function refresh() {
  im.onload = () => { imgW = im.width; imgH = im.height;
   cv.width = im.width; cv.height = im.height;
   ctx.drawImage(im, 0, 0);
+  if (scv.width === imgW && scv.height === imgH)
+   ctx.drawImage(scv, 0, 0);
   if (rect) { ctx.strokeStyle = '#3df'; ctx.setLineDash([4, 3]);
    ctx.strokeRect(rect[1], rect[0], rect[3] - rect[1], rect[2] - rect[0]); }
  };
@@ -416,12 +607,126 @@ document.getElementById('file').onchange = (e) => {
  };
  rd.readAsDataURL(f);
 };
+// ---- scribble authoring: color strokes + a 3-state/TV class mask
+// (the GUI's pencil tools with color cycling, GUI.py:640-855) ----
+const scv = document.createElement('canvas');   // visible strokes
+const mcv = document.createElement('canvas');   // class mask (red ch.)
+let sctx = null, mctx = null, painting = false, tvNext = 4, tvCur = 4;
+function ensureScribble() {
+ if (scv.width !== imgW || scv.height !== imgH) {
+  scv.width = mcv.width = imgW; scv.height = mcv.height = imgH;
+  sctx = mctx = null;
+ }
+ if (!sctx) { sctx = scv.getContext('2d'); mctx = mcv.getContext('2d'); }
+}
+function clearScribble() {
+ ensureScribble(); sctx.clearRect(0, 0, imgW, imgH);
+ mctx.clearRect(0, 0, imgW, imgH); tvNext = 4; refresh();
+}
+function paintAt(y, x) {
+ ensureScribble();
+ const w = parseInt(document.getElementById('swidth').value) || 3;
+ let cls = document.getElementById('sclass').value;
+ if (cls === '4') cls = String(tvCur);
+ const colors = {2: '#ffffff', 3: '#000000'};
+ sctx.fillStyle = colors[cls] ||
+   document.getElementById('scolor').value;
+ sctx.beginPath(); sctx.arc(x, y, w, 0, 6.3); sctx.fill();
+ const v = parseInt(cls);
+ mctx.fillStyle = 'rgb(' + v + ',' + v + ',' + v + ')';
+ mctx.beginPath(); mctx.arc(x, y, w, 0, 6.3); mctx.fill();
+ ctx.drawImage(scv, 0, 0);
+}
+async function runScribble() {
+ ensureScribble();
+ const st = await api('state', {});
+ const j = await api('view',
+   {which: st.mode === 'jpeg' ? 'out' : 'sr'});
+ if (!j.png) return;
+ const im = new Image();
+ await new Promise(r => { im.onload = r;
+  im.src = 'data:image/png;base64,' + j.png; });
+ const d = document.createElement('canvas');
+ d.width = imgW; d.height = imgH;
+ const dx = d.getContext('2d');
+ dx.drawImage(im, 0, 0); dx.drawImage(scv, 0, 0);
+ log('optimizing scribble...');
+ const r = await api('optimize', {objective: 'scribble',
+   time_budget_s: parseFloat(document.getElementById('budget').value),
+   data: {desired: d.toDataURL('image/png'),
+          scribble_mask: mcv.toDataURL('image/png'),
+          brightness_factor: 0.3}});
+ log('scribble done: loss ' + (r.final_loss || 0).toFixed(5));
+ refresh();
+}
+function doImprint(findOnly) {
+ const f = document.getElementById('impfile').files[0];
+ if (!f) { log('choose an imprint image first'); return; }
+ const rd = new FileReader();
+ rd.onload = async () => {
+  const body = {image: rd.result};
+  if (rect) {
+   body.size = [rect[2] - rect[0], rect[3] - rect[1]];
+   body.search_rect = rect;
+   body.position = [rect[0], rect[1]];
+  }
+  if (findOnly) {
+   const j = await api('find_imprint_location', body);
+   if (j.position) {
+    log('best location ' + j.position + ' (err '
+        + j.consistency_error.toFixed(5) + ')');
+    if (body.size) rect = [j.position[0], j.position[1],
+      j.position[0] + body.size[0], j.position[1] + body.size[1]];
+   }
+   refresh(); return;
+  }
+  if (document.getElementById('impauto').checked) {
+   body.auto = true; delete body.position;
+  }
+  log('imprinting...');
+  const j = await api('imprint', body);
+  if (j.position) log('imprinted at ' + j.position + ', loss '
+      + (j.final_loss || 0).toFixed(5));
+  refresh();
+ };
+ rd.readAsDataURL(f);
+}
+async function hsvEdit() {
+ log('HSV edit...');
+ const j = await api('hsv', {
+   hue_shift: parseFloat(document.getElementById('hue').value),
+   sat: parseFloat(document.getElementById('sat').value),
+   val: parseFloat(document.getElementById('val').value)});
+ if (j.final_loss !== undefined)
+  log('HSV done: loss ' + (j.final_loss || 0).toFixed(5));
+ refresh();
+}
+async function digitEdit() {
+ log('digit...');
+ const j = await api('digit', {
+   digit: parseInt(document.getElementById('digitn').value) || 0,
+   time_budget_s: parseFloat(document.getElementById('budget').value)});
+ if (j.final_loss !== undefined)
+  log('digit done: loss ' + (j.final_loss || 0).toFixed(5));
+ refresh();
+}
 cv.onmousedown = (e) => {
- if (!document.getElementById('selmode').checked) return;
  const b = cv.getBoundingClientRect();
- drag = [e.clientY - b.top, e.clientX - b.left];
+ const y = e.clientY - b.top, x = e.clientX - b.left;
+ if (document.getElementById('paintmode').checked) {
+  if (document.getElementById('sclass').value === '4') tvCur = tvNext++;
+  painting = true; paintAt(y, x); return;
+ }
+ if (!document.getElementById('selmode').checked) return;
+ drag = [y, x];
+};
+cv.onmousemove = (e) => {
+ if (!painting) return;
+ const b = cv.getBoundingClientRect();
+ paintAt(e.clientY - b.top, e.clientX - b.left);
 };
 cv.onmouseup = async (e) => {
+ if (painting) { painting = false; return; }
  if (!drag) return;
  const b = cv.getBoundingClientRect();
  const y1 = e.clientY - b.top, x1 = e.clientX - b.left;

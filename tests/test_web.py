@@ -164,3 +164,112 @@ def test_jpeg_web_opens_real_jpeg_coefficients(jpeg_server):
     assert 10 <= out['qf'] <= 35
     out2 = _post(jpeg_server, 'open', {'image': b64, 'recompress': True})
     assert out2['source'] == 'recompressed'
+
+
+@pytest.mark.slow
+def test_editing_tools_flow(server, tmp_path):
+    """VERDICT round-2 gap: imprint / auto-location / HSV / digit /
+    scribble reachable over HTTP — open -> auto-locate imprint -> place ->
+    HSV edit -> digit -> scribble -> undo -> save Z
+    (GUI.py:857-1283, 1552-1585, 1517-1547, 640-855)."""
+    rng = np.random.default_rng(1)
+    img = rng.uniform(size=(96, 96, 3)).astype(np.float32)
+    _post(server, 'open', {'image': _png_b64(img), 'is_hr': True})
+
+    imprint = 0.9 * np.ones((16, 16, 3), np.float32)
+    # auto-location: search inside a rect, position not committed yet
+    loc = _post(server, 'find_imprint_location',
+                {'image': _png_b64(imprint),
+                 'search_rect': [8, 8, 88, 88], 'n_trials': 20})
+    assert 'position' in loc and np.isfinite(loc['consistency_error'])
+    y, x = loc['position']
+    assert 8 <= y <= 80 and 8 <= x <= 80
+
+    # place it (explicit position), with resizing
+    out = _post(server, 'imprint',
+                {'image': _png_b64(imprint), 'size': [24, 24],
+                 'position': [y, x], 'optimize_iters': 4})
+    assert out['position'] == [y, x]
+    assert np.isfinite(out['final_loss'])
+
+    # and the auto path end-to-end
+    out = _post(server, 'imprint',
+                {'image': _png_b64(imprint), 'auto': True,
+                 'search_rect': [8, 8, 88, 88], 'n_trials': 10,
+                 'optimize_iters': 2})
+    assert np.isfinite(out['final_loss'])
+
+    # HSV edit inside a region
+    _post(server, 'region', {'rect': [16, 16, 80, 80]})
+    out = _post(server, 'hsv', {'hue_shift': 40.0, 'sat': 1.3,
+                                'val': 0.9, 'optimize_iters': 4})
+    assert np.isfinite(out['final_loss'])
+
+    # digit exploration (random classifier weights — just the wiring)
+    out = _post(server, 'digit', {'digit': 3, 'max_iters': 2})
+    assert np.isfinite(out['final_loss'])
+
+    # scribble: authored 3-state mask + desired image over HTTP
+    from PIL import Image
+    sr = np.asarray(Image.open(io.BytesIO(base64.b64decode(
+        _post(server, 'view', {'which': 'sr'})['png'])))) / 255.0
+    desired = sr.copy()
+    desired[30:40, 30:50] = [1.0, 0.1, 0.1]      # color stroke
+    smask = np.zeros((96, 96), np.uint8)
+    smask[30:40, 30:50] = 1                      # class 1 = color
+    smask[50:60, 30:50] = 2                      # class 2 = brighten
+    smask[70:78, 30:50] = 5                      # TV region id
+    mask_rgb = np.repeat(smask[..., None], 3, -1) / 255.0
+    out = _post(server, 'optimize', {
+        'objective': 'scribble', 'max_iters': 4,
+        'data': {'desired': _png_b64(desired),
+                 'scribble_mask': _png_b64(mask_rgb),
+                 'brightness_factor': 0.3}})
+    assert np.isfinite(out['final_loss'])
+
+    # history survived the whole tool chain
+    st = _post(server, 'state', {})
+    assert st['can_undo']
+    _post(server, 'undo', {})
+    zpath = str(tmp_path / 'z_tools.npz')
+    assert _post(server, 'save_z', {'path': zpath})['ok']
+
+
+@pytest.mark.slow
+def test_jpeg_imprint_and_tool_errors(jpeg_server):
+    """JPEG mode: Y-channel imprint works; SR-only tools answer with a
+    clear error instead of crashing."""
+    rng = np.random.default_rng(2)
+    img = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    _post(jpeg_server, 'open', {'image': _png_b64(img), 'qf': 10,
+                                'recompress': True})
+    imprint = 0.8 * np.ones((16, 16, 3), np.float32)
+    out = _post(jpeg_server, 'imprint',
+                {'image': _png_b64(imprint), 'position': [8, 8],
+                 'size': [16, 16], 'optimize_iters': 3})
+    assert out['position'] == [8, 8]
+    assert np.isfinite(out['final_loss'])
+    assert 'error' in _post(jpeg_server, 'hsv', {})
+    assert 'error' in _post(jpeg_server, 'digit', {})
+    assert 'error' in _post(jpeg_server, 'find_imprint_location',
+                            {'image': _png_b64(imprint)})
+
+
+def test_page_script_consistency():
+    """No JS runtime in CI: statically check the page — every
+    getElementById target exists in the markup, brackets balance in the
+    script, and every api('name') call has a server-side endpoint."""
+    import re
+    from exsr.apps.web import PAGE, SessionApi
+    body, script = PAGE.split('<script>')
+    script = script.split('</script>')[0]
+    ids_used = set(re.findall(r"getElementById\('([^']+)'\)", script))
+    ids_defined = set(re.findall(r'id="([^"]+)"', body))
+    missing = ids_used - ids_defined
+    assert not missing, f'script references undefined ids: {missing}'
+    for o, c in ('()', '{}', '[]'):
+        assert script.count(o) == script.count(c), f'unbalanced {o}{c}'
+    endpoints = set(re.findall(r"api\('([^']+)'", script))
+    for ep in endpoints:
+        assert callable(getattr(SessionApi, ep, None)), \
+            f'page calls missing endpoint {ep}'
