@@ -296,3 +296,184 @@ def test_explorable_checkpoint_roundtrip_and_cli(tmp_path):
     out2 = np.asarray(g.apply(restored['g_params'], jnp.asarray(lr),
                               jnp.asarray(z)))
     np.testing.assert_allclose(out2, ref_out, atol=1e-6)
+
+
+# ---------------------------------------------- full-system CEM-wrapped SR
+class _TorchZRDB(nn.Module):
+    """Reference explorable RDB: latent z concatenated before EVERY conv,
+    channel order cat([z, x, c0, ...]) (block.py:196-242)."""
+
+    def __init__(self, nf, gc, nz):
+        super().__init__()
+        for i in range(5):
+            cin = nz + nf + i * gc
+            cout = gc if i < 4 else nf
+            setattr(self, f'conv{i + 1}',
+                    nn.Sequential(nn.Conv2d(cin, cout, 3, 1, 1)))
+        self.lrelu = nn.LeakyReLU(0.2)
+
+    def forward(self, x, z):
+        feats = [x]
+        for i in range(4):
+            out = getattr(self, f'conv{i + 1}')(torch.cat([z] + feats, 1))
+            feats.append(self.lrelu(out))
+        out = self.conv5(torch.cat([z] + feats, 1))
+        return out * 0.2 + x
+
+
+class _TorchZRRDB(nn.Module):
+    def __init__(self, nf, gc, nz):
+        super().__init__()
+        self.RDB1 = _TorchZRDB(nf, gc, nz)
+        self.RDB2 = _TorchZRDB(nf, gc, nz)
+        self.RDB3 = _TorchZRDB(nf, gc, nz)
+
+    def forward(self, x, z):
+        out = self.RDB3(self.RDB2(self.RDB1(x, z), z), z)
+        return out * 0.2 + x
+
+
+class _TorchExplorableRRDB(nn.Module):
+    """The reference's trained explorable generator shape
+    (architecture.py:228-302, latent_input='all_layers',
+    latent_input_domain='HR_downscaled')."""
+
+    def __init__(self, nf, nb, gc, nz):
+        super().__init__()
+        self.fea = nn.Conv2d(3 + nz, nf, 3, 1, 1)
+        self.blocks = nn.ModuleList(
+            [_TorchZRRDB(nf, gc, nz) for _ in range(nb)])
+        self.trunk_conv = nn.Conv2d(nf + nz, nf, 3, 1, 1)
+        self.up0 = nn.Conv2d(nf, nf, 3, 1, 1)
+        self.up1 = nn.Conv2d(nf, nf, 3, 1, 1)
+        self.hr0 = nn.Conv2d(nf + nz, nf, 3, 1, 1)
+        self.hr1 = nn.Conv2d(nf + nz, 3, 3, 1, 1)
+        self.lrelu = nn.LeakyReLU(0.2)
+
+    def forward(self, x, z_hr):
+        import torch.nn.functional as TF
+        z = TF.interpolate(z_hr, size=x.shape[2:], mode='bilinear',
+                           align_corners=False)
+        fea = self.fea(torch.cat([z, x], 1))
+        t = fea
+        for b in self.blocks:
+            t = b(t, z)
+        t = self.trunk_conv(torch.cat([z, t], 1))
+        x = fea + t
+        x = self.lrelu(self.up0(TF.interpolate(x, scale_factor=2,
+                                               mode='nearest')))
+        x = self.lrelu(self.up1(TF.interpolate(x, scale_factor=2,
+                                               mode='nearest')))
+        x = self.lrelu(self.hr0(torch.cat([z_hr, x], 1)))
+        return self.hr1(torch.cat([z_hr, x], 1))
+
+    def state_dict_esrgan_layout(self, nb):
+        sd = {}
+
+        def put(key, conv):
+            sd[f'{key}.weight'] = conv.weight.detach()
+            sd[f'{key}.bias'] = conv.bias.detach()
+        put('model.0', self.fea)
+        for i, blk in enumerate(self.blocks):
+            for r in (1, 2, 3):
+                rdb = getattr(blk, f'RDB{r}')
+                for c in range(1, 6):
+                    put(f'model.1.sub.{i}.RDB{r}.conv{c}.0',
+                        getattr(rdb, f'conv{c}')[0])
+        put(f'model.1.sub.{nb}', self.trunk_conv)
+        put('model.3', self.up0)
+        put('model.6', self.up1)
+        put('model.8', self.hr0)
+        put('model.10', self.hr1)
+        return sd
+
+
+def _torch_cem_forward(gen_out, lr, cem):
+    """Independent torch CEM forward from the math (CEMnet.py:283-311):
+    ortho(lr) + g - ortho(downscale(g)), all filters from exsr's own
+    host-side kernel synthesis."""
+    import torch.nn.functional as TF
+    from exsr.ops.resize import calc_strides
+    sf = int(cem.conf.scale_factor)
+    pre, _ = calc_strides((0, 0), sf)
+    pre = (int(pre[0]), int(pre[1]))
+
+    def filt(x, k2d):
+        k = torch.from_numpy(np.ascontiguousarray(k2d)).float()
+        c = x.shape[1]
+        w = k[None, None].repeat(c, 1, 1, 1)
+        kh, kw = k2d.shape
+        xp = TF.pad(x, (kw // 2, kw // 2, kh // 2, kh // 2),
+                    mode='replicate')
+        return TF.conv2d(xp, w, groups=c)
+
+    def down(x):
+        y = filt(x, np.rot90(cem.ds_kernel, 2).copy())
+        return y[:, :, pre[0]::sf, pre[1]::sf]
+
+    def up(x):
+        n, c, h, w = x.shape
+        st = torch.zeros(n, c, h * sf, w * sf)
+        st[:, :, pre[0]::sf, pre[1]::sf] = x
+        return filt(st, cem.ds_kernel * sf ** 2)
+
+    def ortho(y):
+        return up(filt(y, cem.inv_hth))
+
+    return ortho(lr) + gen_out - ortho(down(gen_out))
+
+
+@pytest.mark.slow
+def test_full_system_cem_wrapped_parity_nonzero_z():
+    """Locks the whole L0-L3 stack, not just the trunk: a torch reference
+    explorable generator + torch CEM forward (built independently from the
+    published math) must match exsr's converted, CEM-wrapped forward at a
+    shared NONZERO Z to <=1e-5 (CEMnet.py:283-311, networks.py:116-117)."""
+    from exsr.cem.cem import CEM, CEMConf, cem_wrap
+    from exsr.models.convert import convert_esrgan_rrdb, align_params_to
+    from exsr.models.rrdb import RRDBNet
+
+    nf, nb, gc, nz, sf = 16, 2, 8, 3, 4
+    tg = _TorchExplorableRRDB(nf, nb, gc, nz)
+    torch.manual_seed(7)
+    for p in tg.parameters():
+        p.data.uniform_(-0.1, 0.1)
+    tg.eval()
+
+    rng = np.random.default_rng(7)
+    lr = rng.uniform(size=(1, 32, 32, 3)).astype(np.float32)
+    z = (rng.uniform(size=(1, 128, 128, nz)) * 2 - 1).astype(np.float32)
+
+    # torch side: generator forward + independent CEM math
+    cem = CEM.create(CEMConf(scale_factor=sf))
+    with torch.no_grad():
+        t_lr = torch.from_numpy(lr.transpose(0, 3, 1, 2))
+        t_z = torch.from_numpy(z.transpose(0, 3, 1, 2))
+        t_gen = tg(t_lr, t_z)
+        t_out = _torch_cem_forward(t_gen, t_lr, cem)
+    t_out = t_out.numpy().transpose(0, 2, 3, 1)
+
+    # exsr side: convert the torch weights, wrap in the device CEM
+    g = RRDBNet(nf=nf, nb=nb, gc=gc, latent_channels=nz)
+    template = g.init(jax.random.PRNGKey(0), jnp.asarray(lr),
+                      jnp.asarray(z))
+    params = align_params_to(template, convert_esrgan_rrdb(
+        tg.state_dict_esrgan_layout(nb), nb=nb, latent_channels=nz))
+    filt = cem.device_filters(3)
+    wrapped = cem_wrap(lambda p, x, zz: g.apply(p, x, zz), filt, upscale=sf)
+    out = np.asarray(wrapped(params, jnp.asarray(lr), jnp.asarray(z),
+                             cem.invalidity_margins_lr, pre_pad=False))
+
+    # the generator trunks agree first (diagnoses converter vs CEM)
+    gen_flax = np.asarray(g.apply(params, jnp.asarray(lr), jnp.asarray(z)))
+    np.testing.assert_allclose(gen_flax,
+                               t_gen.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-5)
+    # and the final CEM-wrapped SR output matches end-to-end
+    np.testing.assert_allclose(out, t_out, atol=1e-5)
+
+    # the torch twin really is consistency-enforcing (sanity of the twin)
+    from exsr.cem.cem import consistent_downsample
+    down = np.asarray(filt.downscale(jnp.asarray(t_out)))
+    m = cem.invalidity_margins_lr
+    assert np.abs(down - lr)[:, m:-m, m:-m, :].max() < 5e-5
