@@ -133,22 +133,12 @@ def _rdb_grouped(x, z, e, nf: int, gc: int):
     return out * 0.2 + x
 
 
-def rrdbnet_apply_fast(params, lr, z_hr=None, *, nf: int = 64,
-                       gc: int = 32, nb: int = 23, upscale: int = 4,
-                       latent_channels: int = 3, out_nc: int = 3,
-                       dtype=jnp.bfloat16, packed=None):
-    """Drop-in replacement for ``RRDBNet(...).apply(params, lr, z_hr)``
-    (architecture.py:228-302 semantics; grouped trunk).
-
-    ``packed``: optional pre-packed ``pack_grouped_params`` result —
-    pass it when calling repeatedly under one jit to let the packing
-    slices constant-fold once.
-    """
-    if packed is None:
-        packed = pack_grouped_params(params, nf=nf, gc=gc,
-                                     latent_channels=latent_channels)
+def rrdb_trunk_fast(packed, lr, z_hr=None, *, nf: int = 64, gc: int = 32,
+                    dtype=jnp.bfloat16):
+    """LR-domain part of the fast forward: fea conv + scanned grouped
+    trunk + trunk conv + global residual.  Returns the pre-upsample
+    feature map [N, h, w, nf] (in ``dtype``)."""
     trunk_params, rest = packed
-    in_dtype = lr.dtype
     n, h, w, _ = lr.shape
     if dtype is not None:
         lr = lr.astype(dtype)
@@ -171,8 +161,17 @@ def rrdbnet_apply_fast(params, lr, z_hr=None, *, nf: int = 64,
     tc = rest['trunk_conv']['Conv_0']
     t_in = (jnp.concatenate([z_lr, trunk], -1) if z_lr is not None
             else trunk)
-    x = fea + _conv(t_in, tc['kernel'], tc['bias'])
+    return fea + _conv(t_in, tc['kernel'], tc['bias'])
 
+
+def rrdb_tail_fast(packed, feats, z_hr=None, *, upscale: int = 4,
+                   out_dtype=jnp.float32):
+    """HR-domain tail: subpixel upconvs + HR convs (the memory-heavy part
+    — two live [N, 4h, 4w, nf] buffers; callers may batch-chunk it)."""
+    _, rest = packed
+    x = feats
+    if z_hr is not None:
+        z_hr = z_hr.astype(x.dtype)
     n_up = 1 if upscale == 3 else int(np.log2(upscale))
     for i in range(n_up):
         uc = rest[f'upconv{i}']
@@ -190,4 +189,49 @@ def rrdbnet_apply_fast(params, lr, z_hr=None, *, nf: int = 64,
     h1 = rest['hr_conv1']['Conv_0']
     h_in = (jnp.concatenate([z_hr, x], -1) if z_hr is not None else x)
     x = _conv(h_in, h1['kernel'], h1['bias'])
-    return x.astype(in_dtype)
+    return x.astype(out_dtype)
+
+
+def rrdbnet_apply_fast(params, lr, z_hr=None, *, nf: int = 64,
+                       gc: int = 32, nb: int = 23, upscale: int = 4,
+                       latent_channels: int = 3, out_nc: int = 3,
+                       dtype=jnp.bfloat16, packed=None,
+                       tail_chunk: int | None = None):
+    """Drop-in replacement for ``RRDBNet(...).apply(params, lr, z_hr)``
+    (architecture.py:228-302 semantics; grouped trunk).
+
+    ``packed``: optional pre-packed ``pack_grouped_params`` result —
+    pass it when calling repeatedly under one jit to let the packing
+    slices constant-fold once.
+
+    ``tail_chunk``: process the HR tail in batch chunks of this size
+    (``lax.map`` over chunks).  The tail's live HR buffers are the HBM
+    limiter at large batch (two [N, 4h, 4w, nf] bf16 tensors, ~1.6x
+    layout padding); chunking them caps tail memory at
+    O(tail_chunk x HR^2) so the FLOP-heavy trunk can run at batch sizes
+    where the v5e MXU is markedly more efficient.  Bit-identical to the
+    unchunked path (per-image computation is independent across batch).
+    """
+    if packed is None:
+        packed = pack_grouped_params(params, nf=nf, gc=gc,
+                                     latent_channels=latent_channels)
+    in_dtype = lr.dtype
+    feats = rrdb_trunk_fast(packed, lr, z_hr, nf=nf, gc=gc, dtype=dtype)
+    n = feats.shape[0]
+    if tail_chunk is None or tail_chunk >= n:
+        return rrdb_tail_fast(packed, feats, z_hr, upscale=upscale,
+                              out_dtype=in_dtype)
+    assert n % tail_chunk == 0, (n, tail_chunk)
+    k = n // tail_chunk
+    feats_c = feats.reshape((k, tail_chunk) + feats.shape[1:])
+    if z_hr is not None:
+        z_c = z_hr.reshape((k, tail_chunk) + z_hr.shape[1:])
+        args = (feats_c, z_c)
+        fn = lambda a: rrdb_tail_fast(packed, a[0], a[1], upscale=upscale,
+                                      out_dtype=in_dtype)
+    else:
+        args = feats_c
+        fn = lambda a: rrdb_tail_fast(packed, a, None, upscale=upscale,
+                                      out_dtype=in_dtype)
+    out = jax.lax.map(fn, args)
+    return out.reshape((n,) + out.shape[2:])

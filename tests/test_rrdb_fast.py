@@ -55,3 +55,40 @@ def test_subpixel_upconv_matches_nearest_then_conv():
         out = subpixel_upconv(x, fold_upconv_kernel(k), b)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4)
+
+
+@pytest.mark.parametrize('chunk', [1, 2])
+def test_tail_chunked_matches_unchunked(chunk):
+    """Batch-chunked HR tail (the large-batch HBM relief) is bit-identical
+    to the unchunked forward — per-image computation is independent."""
+    nf, gc, nb, nz = 16, 8, 2, 3
+    g = RRDBNet(nf=nf, gc=gc, nb=nb, latent_channels=nz)
+    lr = jax.random.uniform(jax.random.PRNGKey(3), (4, 12, 12, 3))
+    z = jax.random.uniform(jax.random.PRNGKey(4), (4, 48, 48, nz)) * 2 - 1
+    params = g.init(jax.random.PRNGKey(0), lr, z)
+    packed = pack_grouped_params(params, nf=nf, gc=gc, latent_channels=nz)
+    ref = np.asarray(rrdbnet_apply_fast(params, lr, z, nf=nf, gc=gc,
+                                        nb=nb, latent_channels=nz,
+                                        dtype=None, packed=packed))
+    out = np.asarray(rrdbnet_apply_fast(params, lr, z, nf=nf, gc=gc,
+                                        nb=nb, latent_channels=nz,
+                                        dtype=None, packed=packed,
+                                        tail_chunk=chunk))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_trunk_tail_split_composes():
+    from exsr.models.rrdb_fast import rrdb_trunk_fast, rrdb_tail_fast
+    nf, gc, nb, nz = 16, 8, 2, 3
+    g = RRDBNet(nf=nf, gc=gc, nb=nb, latent_channels=nz)
+    lr = jax.random.uniform(jax.random.PRNGKey(5), (2, 12, 12, 3))
+    z = jax.random.uniform(jax.random.PRNGKey(6), (2, 48, 48, nz)) * 2 - 1
+    params = g.init(jax.random.PRNGKey(0), lr, z)
+    packed = pack_grouped_params(params, nf=nf, gc=gc, latent_channels=nz)
+    feats = rrdb_trunk_fast(packed, lr, z, nf=nf, gc=gc, dtype=None)
+    assert feats.shape == (2, 12, 12, nf)
+    out = rrdb_tail_fast(packed, feats, z, upscale=4)
+    ref = np.asarray(rrdbnet_apply_fast(params, lr, z, nf=nf, gc=gc,
+                                        nb=nb, latent_channels=nz,
+                                        dtype=None, packed=packed))
+    np.testing.assert_array_equal(np.asarray(out), ref)
