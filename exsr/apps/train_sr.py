@@ -45,6 +45,13 @@ def main(argv=None):
     p.add_argument('--tensorboard', action='store_true',
                    help='also write TB event files (optional dep; '
                         'logger.py:60-81 parity)')
+    p.add_argument('--init_phase', action='store_true',
+                   help='pixel+range pretraining (no GAN/D) — the '
+                        'zero-egress stand-in for the reference\'s '
+                        'pretrained-ESRGAN warm start '
+                        '(path.pretrained_model_G in '
+                        'train_explorable_SR.json); resume without this '
+                        'flag afterwards for the GAN phase')
     args = p.parse_args(argv)
 
     import jax
@@ -72,6 +79,12 @@ def main(argv=None):
         args.batch = exp.train_data.batch_size
     if args.niter:
         cfg = cfg.__class__(**{**cfg.__dict__, 'niter': args.niter})
+    if args.init_phase:
+        # L1 pixel + range only, higher LR, no MAP/latent/GAN terms
+        cfg = cfg.__class__(**{**cfg.__dict__, 'pixel_weight': 1.0,
+                               'feature_weight': None, 'gan_weight': 0.0,
+                               'optimal_z_weight': None,
+                               'latent_weight': None, 'lr_g': 2e-4})
 
     cem = CEM.create(CEMConf(scale_factor=cfg.scale))
     filt = cem.device_filters(3)
@@ -188,8 +201,11 @@ def main(argv=None):
                 {'lr': batch['lr'], 'hr': batch['hr']})
             dual = (cfg.optimal_z_weight is not None
                     and ctl.generator_started_learning)
-            do_d = ctl.want_d_step()
-            do_g = ctl.want_g_step()
+            if args.init_phase:
+                do_d, do_g = False, True  # no D in the pretraining phase
+            else:
+                do_d = ctl.want_d_step()
+                do_g = ctl.want_g_step()
             if do_d:
                 state, d_metrics = trainer.d_step(state, batch, dual=dual)
                 ctl.record_d({k: float(v) for k, v in d_metrics.items()
@@ -198,7 +214,8 @@ def main(argv=None):
                                   if np.ndim(v) == 0})
             if do_g:
                 state, g_metrics = trainer.g_step(state, batch, dual=dual,
-                                                  use_gan=True)
+                                                  use_gan=not
+                                                  args.init_phase)
                 ctl.record_g()
                 log_accum.update({k: float(v) for k, v in g_metrics.items()
                                   if np.ndim(v) == 0})

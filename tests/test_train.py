@@ -322,3 +322,35 @@ def test_train_sr_cli_end_to_end(tmp_path):
     m2.load(os.path.join(exp, 'logs.npz'))
     steps = [int(s) for s, _ in m2.series.get('l_d_total', [])]
     assert max(steps) >= 4
+
+
+@pytest.mark.slow
+def test_train_sr_cli_init_phase(tmp_path):
+    """--init_phase: G-only pixel+range pretraining (the zero-egress
+    stand-in for the reference's pretrained-ESRGAN warm start), then a
+    GAN-phase resume from its checkpoint."""
+    import os
+    from PIL import Image
+    rng = np.random.default_rng(1)
+    hr_dir = tmp_path / 'hr'
+    hr_dir.mkdir()
+    for i in range(2):
+        arr = (rng.uniform(size=(128, 128, 3)) * 255).astype('uint8')
+        Image.fromarray(arr).save(hr_dir / f'im{i}.png')
+    exp = str(tmp_path / 'exp')
+    args = ['--hr_dir', str(hr_dir), '--scale', '4', '--patch', '112',
+            '--batch', '2', '--nb', '1', '--nf', '8', '--d_nb', '4',
+            '--d_nf', '8', '--d_strides', '1', '--exp_dir', exp,
+            '--print_freq', '1', '--ckpt_freq', '1']
+    from exsr.apps.train_sr import main
+    main(args + ['--init_phase', '--niter', '2'])
+    from exsr.utils.logging import MetricLog
+    m = MetricLog()
+    m.load(os.path.join(exp, 'logs.npz'))
+    assert m.last('l_g_pix') is not None      # pixel loss active
+    assert m.last('l_d_total') is None        # and no D steps ran
+    # GAN-phase resume from the init checkpoint
+    main(args + ['--niter', '4', '--resume'])
+    m2 = MetricLog()
+    m2.load(os.path.join(exp, 'logs.npz'))
+    assert m2.last('l_d_total') is not None   # D started
