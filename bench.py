@@ -59,6 +59,7 @@ def main():
     wrapped = cem_wrap(g_apply, filt, upscale=SCALE)
 
     best = None
+    curve = []
     # Conv efficiency on the v5e rises sharply with total rows (N*H*W):
     # measured 67 img/s at batch<=96 but ~160 img/s at batch 128 — sweep
     # the large-batch regime (144+ OOMs/crashes on the 512^2 tail at 16G
@@ -96,9 +97,18 @@ def main():
         imgs = batch * N_ITERS / dt
         print(f'batch {batch}: {imgs:.1f} img/s '
               f'({1000 * dt / N_ITERS:.1f} ms/fwd)', file=sys.stderr)
+        curve.append({'batch': batch, 'img_per_s': round(imgs, 1),
+                      'ms_per_fwd': round(1000 * dt / N_ITERS, 1)})
         if best is None or imgs > best[1]:
             best = (batch, imgs)
 
+    # committed machine-readable sweep history (diffable across rounds)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'BENCH_CURVE.json'), 'w') as f:
+            json.dump({'curve': curve, 'best_batch': best[0]}, f, indent=1)
+    except OSError:
+        pass
     print(json.dumps({
         'metric': 'sr4x_throughput_128px',
         'value': round(best[1], 2),

@@ -19,10 +19,12 @@ import sys
 import time
 
 
-def main():
+def main(out_path: str | None = None):
     import numpy as np
     import jax.numpy as jnp
     from exsr.apps.session import EditSession
+    out_path = out_path or (sys.argv[1] if len(sys.argv) > 1 else None)
+    records = []
 
     s = EditSession(scale=4, nb=23, edit_dtype=jnp.bfloat16,
                     time_budget_s=1e9, rounds_per_launch=6)
@@ -67,14 +69,21 @@ def main():
         out = zo.optimize_rounds(theta, n_rounds=6, obj_args=obj_args)
         n = int(np.sum(~np.isnan(out[4])))
         scan = (time.perf_counter() - t0) / max(n, 1)
-        print(json.dumps({
+        rec = {
             'metric': 'z_edit_latency',
             'window_lr': win_lr,
             'crop_lr': int(lr_crop.shape[1]),
             'scan_ms_per_step': round(1000 * scan, 2),
             'e2e_ms_per_step': round(1000 * e2e, 2),
             'vs_target_5ms': round(1000 * scan / 5.0, 2),
-        }), flush=True)
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+    if out_path:
+        # committed machine-readable history (VERDICT r2 weak #3: the
+        # latency numbers lived only in PARITY prose)
+        with open(out_path, 'w') as f:
+            json.dump({'records': records}, f, indent=1)
 
 
 if __name__ == '__main__':
