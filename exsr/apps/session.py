@@ -43,7 +43,12 @@ DEFAULT_TIME_BUDGET_S = 30.0   # GUI.py:62
 ITERS_PER_ROUND = 5            # GUI.py:51
 INITIAL_LR = 1e-1              # GUI.py:53
 LR_DECAY_ON_PLATEAU = 5.0      # GUI.py:2131-2134
-CROP_BUCKET_LR = 16
+# Edit crops are bucketed so repeated same-ballpark edits reuse compiled
+# programs.  8 (vs 16 in round 2) nearly halves the smallest edit's FLOPs
+# (window 16 + 2x10 margins = 36 -> crop 40 instead of 48) at twice the
+# worst-case number of distinct compile shapes — measured win on the
+# overhead-bound small-window edit latency.
+CROP_BUCKET_LR = 8
 
 
 def _bucket(lo: int, hi: int, size: int, bucket: int) -> tuple[int, int]:

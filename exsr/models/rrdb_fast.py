@@ -59,9 +59,14 @@ def pack_grouped_params(params, nf: int = 64, gc: int = 32,
         entry = {}
         for g in range(5):
             lo, hi = bounds[g], bounds[g + 1]
-            # group g feeds every stage i >= g (kernels are [nb,3,3,cin,co])
+            # group g feeds every stage i >= g (kernels are [nb,3,3,cin,co]).
+            # The final stage's part leads (s4-first): its slice then sits
+            # 64-aligned at channel 0 of every P buffer, so the stage-4
+            # epilogue (XLA fusion or the Pallas kernel) selects it with a
+            # plain aligned channel block.
+            order = [4] + list(range(g, 4))
             entry[f'w{g}'] = jnp.concatenate(
-                [kernels[i][..., lo:hi, :] for i in range(g, 5)], axis=-1)
+                [kernels[i][..., lo:hi, :] for i in order], axis=-1)
         for i in range(5):
             entry[f'b{i}'] = biases[i]
         packed[f'rdb{r}'] = entry
@@ -107,15 +112,23 @@ def subpixel_upconv(x: jnp.ndarray, k4: jnp.ndarray,
     return out if b is None else out + b.astype(out.dtype)
 
 
-def _rdb_grouped(x, z, e, nf: int, gc: int):
-    """One residual-dense block in grouped form (block.py:196-242 math)."""
+def _rdb_grouped(x, z, e, nf: int, gc: int, stage4=None):
+    """One residual-dense block in grouped form (block.py:196-242 math).
+
+    P-buffer channel layout is s4-first: ``P[g] = [stage4(nf) | stage g
+    (gc) | ... | stage 3 (gc)]``.  ``stage4``: optional fused epilogue
+    ``stage4(c3, p0, p1, p2, p3, x, w4, b4) -> out`` (the Pallas kernel)
+    replacing the final conv + 4-slice gather + residual.
+    """
     widths = [gc, gc, gc, gc, nf]
     P = [None] * 5
     P[0] = _conv(jnp.concatenate([z, x], -1) if z is not None else x,
                  e['w0'])
 
     def sl(g, i):
-        off = sum(widths[j] for j in range(g, i))
+        if i == 4:
+            return P[g][..., :nf]
+        off = nf + sum(widths[j] for j in range(g, i))
         return P[g][..., off:off + widths[i]]
 
     c = [None] * 4
@@ -127,6 +140,9 @@ def _rdb_grouped(x, z, e, nf: int, gc: int):
         for g in range(1, i + 1):
             acc = acc + sl(g, i)
         c[i] = jax.nn.leaky_relu(acc + e[f'b{i}'].astype(x.dtype), 0.2)
+    if stage4 is not None:
+        return stage4(c[3], P[0], P[1], P[2], P[3], x,
+                      e['w4'], e['b4'])
     P[4] = _conv(c[3], e['w4'])
     out = sl(0, 4) + sl(1, 4) + sl(2, 4) + sl(3, 4) + sl(4, 4) \
         + e['b4'].astype(x.dtype)
@@ -134,10 +150,15 @@ def _rdb_grouped(x, z, e, nf: int, gc: int):
 
 
 def rrdb_trunk_fast(packed, lr, z_hr=None, *, nf: int = 64, gc: int = 32,
-                    dtype=jnp.bfloat16):
+                    dtype=jnp.bfloat16, stage4_pallas: bool = False):
     """LR-domain part of the fast forward: fea conv + scanned grouped
     trunk + trunk conv + global residual.  Returns the pre-upsample
-    feature map [N, h, w, nf] (in ``dtype``)."""
+    feature map [N, h, w, nf] (in ``dtype``).
+
+    ``stage4_pallas``: run each RDB's stage-4 epilogue as the fused
+    Pallas kernel (exsr/ops/pallas/stage4.py) — overlaps the narrow
+    final conv with the HBM-bound partial gather that XLA serializes
+    (PROFILE_r03.json).  Inference only (no VJP)."""
     trunk_params, rest = packed
     n, h, w, _ = lr.shape
     if dtype is not None:
@@ -151,10 +172,15 @@ def rrdb_trunk_fast(packed, lr, z_hr=None, *, nf: int = 64, gc: int = 32,
         x = lr
     fea = _conv(x, rest['fea_conv']['kernel'], rest['fea_conv']['bias'])
 
+    s4 = None
+    if stage4_pallas:
+        from exsr.ops.pallas.stage4 import stage4_pallas as s4_kernel
+        s4 = lambda *a: s4_kernel(*a)
+
     def block(cary, bp):
-        o = _rdb_grouped(cary, z_lr, bp['rdb1'], nf, gc)
-        o = _rdb_grouped(o, z_lr, bp['rdb2'], nf, gc)
-        o = _rdb_grouped(o, z_lr, bp['rdb3'], nf, gc)
+        o = _rdb_grouped(cary, z_lr, bp['rdb1'], nf, gc, stage4=s4)
+        o = _rdb_grouped(o, z_lr, bp['rdb2'], nf, gc, stage4=s4)
+        o = _rdb_grouped(o, z_lr, bp['rdb3'], nf, gc, stage4=s4)
         return o * 0.2 + cary, None
 
     trunk, _ = jax.lax.scan(block, fea, trunk_params)

@@ -1,0 +1,96 @@
+"""Pallas TPU kernel: the RDB stage-4 epilogue as one fused device op.
+
+Trace finding (PROFILE_r03.json): in the grouped trunk the stage-4
+fusion — conv(c3, w4[gc->nf]) + gather of four nf-wide partials + bias +
+0.2-residual — runs at ~24 TF/s (3.9 ms/RDB at b128) while the wide group
+convs hit 86-152 TF/s: XLA serializes the narrow MXU conv and the
+HBM-bandwidth-bound partial adds.  This kernel overlaps them: the grid
+pipelines per-image DMA of the partial buffers while the MXU runs the
+conv, targeting max(bytes_time ~2.1 ms, matmul ~1.0 ms) instead of their
+sum.
+
+Math (bit-equal to _rdb_grouped's tail, exsr/models/rrdb_fast.py):
+    out = 0.2 * (conv3x3_SAME(c3, w4) + b4 + p0 + p1 + p2 + p3) + x
+with p_g = P[g][..., :nf] (s4-first packing).  The 3x3 conv uses the
+zero-bordered-buffer + static-row-shift approach of rrdb_block.py, but
+with the three KY taps fused into K=3*gc dots (three dots per conv
+instead of nine) and the W-taps realized by fp32 pltpu.roll (Mosaic:
+lane-dim slice starts must be aligned; rolls are 32-bit only).
+
+Mosaic compile-service limits (verify SKILL.md): this kernel is ~10x
+smaller than the rejected whole-RDB kernel (3 dots vs 45), inside what
+the remote compiler handles.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(nf, gc, h, w, c3_ref, p0_ref, p1_ref, p2_ref, p3_ref, x_ref,
+            w4_ref, b4_ref, out_ref, buf_ref, col_ref, acc_ref):
+    # zero-bordered c3 for the SAME conv
+    buf_ref[:] = jnp.zeros_like(buf_ref)
+    buf_ref[1:h + 1, 1:w + 1, :] = c3_ref[0]
+    # fuse the three KY taps: col[y, x, 3*gc] = (c3[y], c3[y+1], c3[y+2])
+    for ky in range(3):
+        col_ref[:, :, ky * gc:(ky + 1) * gc] = buf_ref[ky:ky + h, :, :]
+    # one dot per W tap (K = 3*gc), horizontal shift via fp32 roll
+    col = col_ref[:].reshape(h * (w + 2), 3 * gc)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for dx in range(3):
+        wt = w4_ref[dx]  # [3*gc, nf] — taps (ky, dx) stacked along K
+        y = jax.lax.dot_general(
+            col, wt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(h, w + 2, nf)
+        if dx > 0:
+            y = pltpu.roll(y, shift=w + 2 - dx, axis=1)
+        acc_ref[:] += y[:, 0:w, :].reshape(h * w, nf)
+    dt = x_ref.dtype
+    conv = acc_ref[:].reshape(h, w, nf) + b4_ref[:]
+    partial = (p0_ref[0].astype(jnp.float32) + p1_ref[0].astype(jnp.float32)
+               + p2_ref[0].astype(jnp.float32)
+               + p3_ref[0].astype(jnp.float32))
+    out_ref[0] = ((conv + partial) * 0.2).astype(dt) + x_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def stage4_pallas(c3, p0, p1, p2, p3, x, w4, b4, interpret: bool = False):
+    """out = 0.2*(conv3x3(c3, w4) + b4 + Σ p_g[...,:nf]) + x.
+
+    ``p_g`` are the FULL P buffers (s4-first layout); the BlockSpec picks
+    their leading nf-wide channel block, so no slice op materializes.
+    ``w4`` is HWIO [3, 3, gc, nf]; ``b4`` [nf] fp32.
+    """
+    b, h, w, gc = c3.shape
+    nf = x.shape[-1]
+    # [dx, (ky, gc), nf]: K-stacked taps matching the col buffer layout
+    w4_k = jnp.transpose(w4, (1, 0, 2, 3)).reshape(3, 3 * gc, nf) \
+        .astype(c3.dtype)
+
+    img = lambda ch: pl.BlockSpec((1, h, w, ch), lambda i: (i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, nf, gc, h, w),
+        grid=(b,),
+        in_specs=[img(gc), img(nf), img(nf), img(nf), img(nf), img(nf),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=img(nf),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, nf), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((h + 2, w + 2, gc), c3.dtype),
+            pltpu.VMEM((h, w + 2, 3 * gc), c3.dtype),
+            pltpu.VMEM((h * w, nf), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * b * h * w * gc * nf,
+            bytes_accessed=(c3.size + 5 * b * h * w * nf + x.size)
+            * c3.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(c3, p0, p1, p2, p3, x, w4_k, b4.astype(jnp.float32))

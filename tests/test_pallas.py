@@ -69,3 +69,51 @@ def test_rrdbnet_pallas_trunk_matches_flax():
     with pltpu.force_tpu_interpret_mode():
         out = g1.apply(p, lr, z)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_stage4_pallas_matches_reference():
+    """stage4_pallas == the _rdb_grouped stage-4 tail (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from exsr.ops.pallas.stage4 import stage4_pallas
+    rng = np.random.default_rng(0)
+    b, h, w, gc, nf = 2, 12, 12, 8, 16
+    c3 = jnp.asarray(rng.normal(size=(b, h, w, gc)).astype('f'))
+    ps = [jnp.asarray(rng.normal(size=(b, h, w, nf + k * gc)).astype('f'))
+          for k in (4, 3, 2, 1)]
+    x = jnp.asarray(rng.normal(size=(b, h, w, nf)).astype('f'))
+    w4 = jnp.asarray(rng.normal(size=(3, 3, gc, nf)).astype('f') * 0.1)
+    b4 = jnp.asarray(rng.normal(size=(nf,)).astype('f'))
+
+    conv = jax.lax.conv_general_dilated(
+        c3, w4, (1, 1), 'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    ref = (conv + b4 + sum(p[..., :nf] for p in ps)) * 0.2 + x
+    out = stage4_pallas(c3, *ps, x, w4, b4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_rdb_grouped_with_stage4_kernel_matches():
+    """_rdb_grouped(stage4=pallas interpret) == plain _rdb_grouped."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from exsr.models.rrdb import RRDBNet
+    from exsr.models.rrdb_fast import pack_grouped_params, _rdb_grouped
+    from exsr.ops.pallas.stage4 import stage4_pallas
+    nf, gc, nb, nz = 16, 8, 1, 3
+    g = RRDBNet(nf=nf, gc=gc, nb=nb, latent_channels=nz)
+    lr = jax.random.uniform(jax.random.PRNGKey(1), (2, 12, 12, 3))
+    z = jax.random.uniform(jax.random.PRNGKey(2), (2, 48, 48, nz))
+    params = g.init(jax.random.PRNGKey(0), lr, z)
+    packed, _ = pack_grouped_params(params, nf=nf, gc=gc,
+                                    latent_channels=nz)
+    e = {k: v[0] for k, v in packed['rdb1'].items()}  # strip [nb] axis
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 12, 12, nf))
+    zl = jax.random.normal(jax.random.PRNGKey(4), (2, 12, 12, nz))
+    ref = _rdb_grouped(x, zl, e, nf, gc)
+    out = _rdb_grouped(x, zl, e, nf, gc,
+                       stage4=lambda *a: stage4_pallas(*a, interpret=True))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5)
