@@ -33,6 +33,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(nf, gc, h, w, c3_ref, p0_ref, p1_ref, p2_ref, p3_ref, x_ref,
             w4_ref, b4_ref, out_ref, buf_ref, col_ref, acc_ref):
+    # p refs may carry extra trailing channels (Mosaic blocks must be
+    # 128-divisible or full-width on the lane dim); the s4 part is the
+    # leading nf channels (s4-first packing)
     # zero-bordered c3 for the SAME conv
     buf_ref[:] = jnp.zeros_like(buf_ref)
     buf_ref[1:h + 1, 1:w + 1, :] = c3_ref[0]
@@ -52,9 +55,10 @@ def _kernel(nf, gc, h, w, c3_ref, p0_ref, p1_ref, p2_ref, p3_ref, x_ref,
         acc_ref[:] += y[:, 0:w, :].reshape(h * w, nf)
     dt = x_ref.dtype
     conv = acc_ref[:].reshape(h, w, nf) + b4_ref[:]
-    partial = (p0_ref[0].astype(jnp.float32) + p1_ref[0].astype(jnp.float32)
-               + p2_ref[0].astype(jnp.float32)
-               + p3_ref[0].astype(jnp.float32))
+    partial = (p0_ref[0, :, :, :nf].astype(jnp.float32)
+               + p1_ref[0, :, :, :nf].astype(jnp.float32)
+               + p2_ref[0, :, :, :nf].astype(jnp.float32)
+               + p3_ref[0, :, :, :nf].astype(jnp.float32))
     out_ref[0] = ((conv + partial) * 0.2).astype(dt) + x_ref[0]
 
 
@@ -74,10 +78,19 @@ def stage4_pallas(c3, p0, p1, p2, p3, x, w4, b4, interpret: bool = False):
 
     img = lambda ch: pl.BlockSpec((1, h, w, ch), lambda i: (i, 0, 0, 0),
                                   memory_space=pltpu.VMEM)
+
+    def pspec(p):
+        # lane-dim blocks must be 128-divisible or the full width; bring
+        # the leading 128 channels when the buffer is wider (they cover
+        # the nf-wide s4 part), else the full width
+        return img(128 if p.shape[-1] >= 128 and nf <= 128
+                   else p.shape[-1])
+
     return pl.pallas_call(
         functools.partial(_kernel, nf, gc, h, w),
         grid=(b,),
-        in_specs=[img(gc), img(nf), img(nf), img(nf), img(nf), img(nf),
+        in_specs=[img(gc), pspec(p0), pspec(p1), pspec(p2), pspec(p3),
+                  img(nf),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=img(nf),
