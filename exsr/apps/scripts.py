@@ -22,35 +22,41 @@ from concurrent.futures import ProcessPoolExecutor
 import numpy as np
 
 
+def _extract_one(args):
+    """Worker for extract_subimages — module-level so the process pool can
+    pickle it (a local closure cannot be)."""
+    path, output_dir, crop_size, step, threshold = args
+    from PIL import Image
+    img = np.asarray(Image.open(path).convert('RGB'))
+    h, w = img.shape[:2]
+    if h < crop_size or w < crop_size:
+        return 0
+    name = os.path.splitext(os.path.basename(path))[0]
+    n = 0
+    ys = list(range(0, h - crop_size + 1, step))
+    xs = list(range(0, w - crop_size + 1, step))
+    if h - (ys[-1] + crop_size) > threshold:
+        ys.append(h - crop_size)
+    if w - (xs[-1] + crop_size) > threshold:
+        xs.append(w - crop_size)
+    for y in ys:
+        for x in xs:
+            n += 1
+            crop = img[y:y + crop_size, x:x + crop_size]
+            Image.fromarray(crop).save(
+                os.path.join(output_dir, f'{name}_s{n:03d}.png'))
+    return n
+
+
 def extract_subimages(input_dir, output_dir, crop_size=480, step=240,
                       threshold=48, workers=8):
     """Crop sub-images on a sliding grid (extract_subimgs_single.py)."""
     from exsr.data.datasets import list_images
     os.makedirs(output_dir, exist_ok=True)
     paths = list_images(input_dir)
-
-    def process(path):
-        from PIL import Image
-        img = np.asarray(Image.open(path).convert('RGB'))
-        h, w = img.shape[:2]
-        name = os.path.splitext(os.path.basename(path))[0]
-        n = 0
-        ys = list(range(0, h - crop_size + 1, step))
-        xs = list(range(0, w - crop_size + 1, step))
-        if h - (ys[-1] + crop_size) > threshold:
-            ys.append(h - crop_size)
-        if w - (xs[-1] + crop_size) > threshold:
-            xs.append(w - crop_size)
-        for y in ys:
-            for x in xs:
-                n += 1
-                crop = img[y:y + crop_size, x:x + crop_size]
-                Image.fromarray(crop).save(
-                    os.path.join(output_dir, f'{name}_s{n:03d}.png'))
-        return n
-
+    jobs = [(p, output_dir, crop_size, step, threshold) for p in paths]
     with ProcessPoolExecutor(max_workers=workers) as ex:
-        total = sum(ex.map(process, paths))
+        total = sum(ex.map(_extract_one, jobs))
     print(f'extracted {total} sub-images from {len(paths)} images')
 
 

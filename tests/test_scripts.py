@@ -73,3 +73,28 @@ def test_transfer_files(tmp_path):
     with _pytest.raises(AssertionError):
         scripts_main(['transfer_files', '--source_dir', str(src),
                       '--target_dir', str(dst)])
+
+
+def test_extract_subimages(tmp_path):
+    """Sliding-grid sub-image cropper actually runs through its process
+    pool (the worker must be picklable) and honors the edge threshold
+    (extract_subimgs_single.py semantics)."""
+    import numpy as np
+    from PIL import Image
+    src = tmp_path / 'src'
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    Image.fromarray((rng.uniform(size=(100, 140, 3)) * 255).astype(
+        'uint8')).save(src / 'a.png')
+    Image.fromarray((rng.uniform(size=(40, 40, 3)) * 255).astype(
+        'uint8')).save(src / 'small.png')  # below crop size: skipped
+    out = tmp_path / 'out'
+    from exsr.apps.scripts import extract_subimages
+    extract_subimages(str(src), str(out), crop_size=64, step=32,
+                      threshold=8, workers=2)
+    files = sorted(os.listdir(out))
+    assert files and all(f.startswith('a_s') for f in files)
+    arr = np.asarray(Image.open(out / files[0]))
+    assert arr.shape == (64, 64, 3)
+    # grid: rows [0,32] (edge gap 4 <= threshold), cols [0,32,64,76]
+    assert len(files) == 8
