@@ -74,6 +74,9 @@ def main(argv=None):
     ctl = GANController(d_update_ratio=10, d_valid_steps_4_g=10,
                         d_verification='past')
     os.makedirs(args.exp_dir, exist_ok=True)
+    from exsr.utils.logging import MetricLog
+    mlog = MetricLog()
+    log_path = os.path.join(args.exp_dir, 'logs.npz')
     ckpts = CheckpointManager(os.path.abspath(
         os.path.join(args.exp_dir, 'ckpt')), max_to_keep=3,
         save_interval_steps=args.ckpt_freq)
@@ -121,8 +124,11 @@ def main(argv=None):
         if stds:
             rec['per_pix_STD_val'] = round(float(np.mean(stds)), 5)
         print(json.dumps(rec))
+        mlog.append(ctl.step, **{k: v for k, v in rec.items()
+                                 if k != 'step'})
     t0 = time.time()
     epoch = 0
+    log_accum = {}
     while ctl.step < cfg.niter:
         for batch in loader.epoch(epoch):
             if ctl.step >= cfg.niter:
@@ -135,10 +141,14 @@ def main(argv=None):
                 state, dm = trainer.d_step(state, b, dual=dual)
                 ctl.record_d({k: float(v) for k, v in dm.items()
                               if np.ndim(v) == 0})
+                log_accum.update({k: float(v) for k, v in dm.items()
+                                  if np.ndim(v) == 0})
             if ctl.want_g_step():
                 state, gm = trainer.g_step(state, b, dual=dual,
                                            use_gan=True)
                 ctl.record_g()
+                log_accum.update({k: float(v) for k, v in gm.items()
+                                  if np.ndim(v) == 0})
             state = trainer.advance(state)
             ctl.tick()
             if ctl.step % args.print_freq == 0:
@@ -146,12 +156,16 @@ def main(argv=None):
                 t0 = time.time()
                 print(json.dumps({'step': ctl.step,
                                   'steps_per_s': round(rate, 3)}))
+                mlog.append(ctl.step, **log_accum)
+                mlog.save(log_path)
             if val_ds is not None and ctl.step % args.val_freq == 0:
                 validate(state)
             ckpts.save(ctl.step, state)
         epoch += 1
     ckpts.save(ctl.step, state, force=True)
     ckpts.wait()
+    mlog.save(log_path)
+    mlog.dashboard(os.path.join(args.exp_dir, 'dashboards'))
     print('JPEG training done at step', ctl.step)
 
 

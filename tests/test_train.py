@@ -354,3 +354,30 @@ def test_train_sr_cli_init_phase(tmp_path):
     m2 = MetricLog()
     m2.load(os.path.join(exp, 'logs.npz'))
     assert m2.last('l_d_total') is not None   # D started
+
+
+@pytest.mark.slow
+def test_train_jpeg_cli_end_to_end(tmp_path):
+    """train_jpeg CLI at a tiny config: data -> compiled steps ->
+    checkpoint -> logs.npz + validation (train_JPEG.py:20-152 surface)."""
+    import os
+    from PIL import Image
+    rng = np.random.default_rng(2)
+    d = tmp_path / 'imgs'
+    d.mkdir()
+    for i in range(4):
+        arr = (rng.uniform(size=(72, 72, 3)) * 255).astype('uint8')
+        Image.fromarray(arr).save(d / f'im{i}.png')
+    exp = str(tmp_path / 'exp')
+    from exsr.apps.train_jpeg import main
+    main(['--data_dir', str(d), '--val_dir', str(d), '--patch', '64',
+          '--batch', '2', '--nf', '16', '--nb', '3', '--niter', '3',
+          '--exp_dir', exp, '--print_freq', '1', '--val_freq', '2',
+          '--ckpt_freq', '2'])
+    from exsr.utils.logging import MetricLog
+    m = MetricLog()
+    m.load(os.path.join(exp, 'logs.npz'))
+    assert m.last('psnr_val') is not None
+    assert m.last('l_d_total') is not None
+    assert any(f.endswith('.pdf')
+               for f in os.listdir(os.path.join(exp, 'dashboards')))
