@@ -62,16 +62,56 @@ class JPEGEditSession:
             return out
         return self.generator.apply(params, coeffs, z, train=False)
 
+    def attach_chroma(self, gc_params, nf: int = 320, nb: int = 10):
+        """Attach a trained explorable-chroma generator: CbCr is then
+        reconstructed by the chroma model conditioned on the EDITED Y
+        (USE_Y_GENERATOR_4_CHROMA semantics, DecompCNN_model.py:23,
+        711-729) instead of the input chroma planes."""
+        from exsr.jpeg.codec import JPEGCodec
+        self.chroma_generator = DnCNN(DnCNNConfig(
+            n_channels=nf, depth=nb, in_nc=256 + 128,
+            out_nc=2 * 16 * 16, chroma_generator=True, block_size=16,
+            num_latent_channels=0))
+        self.chroma_params = gc_params
+        self.codec_chroma = JPEGCodec(chroma_mode=True, block_size=16)
+
+    def decode_chroma(self) -> np.ndarray:
+        """[H, W, 2] CbCr (0..255) from the attached chroma generator,
+        conditioned on the current edited Y and the input chroma
+        (ChromaDecompTrainer._decode path, exsr/train/decomp_chroma.py)."""
+        assert getattr(self, 'chroma_params', None) is not None
+        assert self.out is not None and self._cbcr_input is not None
+        h16 = (self.out.shape[1] // 16) * 16
+        w16 = (self.out.shape[2] // 16) * 16
+        y_cond = self.out[:, :h16, :w16, 0] * 255.0
+        cbcr = self._cbcr_input[None, :h16, :w16]
+        img = jnp.concatenate([jnp.asarray(y_cond)[..., None],
+                               jnp.asarray(cbcr)], axis=-1)
+        packed = self.codec_chroma.compress_ycbcr(
+            img, self._qf_arr(), downsample_or_quantize=True)
+        z16 = jnp.zeros(packed.shape[:3] + (0,))
+        coeffs = self.chroma_generator.apply(self.chroma_params, packed,
+                                             z16, train=False)
+        out = self.codec_chroma.extract_ycbcr(coeffs, self._qf_arr())
+        full = np.full(self.out.shape[1:3] + (2,), 128.0, np.float32)
+        full[:h16, :w16] = np.asarray(out[0])
+        return full
+
     # -------------------------------------------------------------- loading
     def open_image(self, rgb_image: np.ndarray, qf: int | None = None):
         """Compress an RGB image at the session QF and decode it
         (GUI.py:2328-2352)."""
         if qf is not None:
             self.qf = qf
-        y = rgb2ycbcr(rgb_image.astype(np.float32), only_y=True) * 255.0
+        ycbcr = rgb2ycbcr(rgb_image.astype(np.float32),
+                          only_y=False) * 255.0
+        y = ycbcr[..., 0]
         h, w = (y.shape[0] // 8) * 8, (y.shape[1] // 8) * 8
         self.file_q_table = None
         self.file_chroma = None
+        # the input chroma planes condition the optional trained-chroma
+        # decode (and are NOT shown directly unless no generator is set)
+        self._cbcr_input = ycbcr[:h, :w, 1:].astype(np.float32)
         self.y_image = jnp.asarray(y[:h, :w][None, ..., None])
         self.comp = self.codec.compress(self.y_image, self._qf_arr(),
                                         quantize=True)
@@ -117,13 +157,27 @@ class JPEGEditSession:
                                ymax_h // comp.sampling[0], 1)
                 chroma.append(px[:hpix, :wpix])
             self.file_chroma = np.stack(chroma, -1)  # [H, W, 2] in 0..255
+            # also usable as trained-chroma conditioning (JFIF Cb/Cr is
+            # 128-centered like the training convention; scale differs
+            # only by the 16-240 studio swing)
+            self._cbcr_input = self.file_chroma.astype(np.float32)
         return out
 
     def compose_rgb(self) -> np.ndarray:
-        """Current edited Y composed with the opened file's chroma (JFIF
-        full-range BT.601), [H, W, 3] in [0, 1]; grayscale replicate when
-        no chroma is available."""
+        """Current edited Y composed to color, [H, W, 3] in [0, 1].
+
+        Priority: trained chroma generator (attach_chroma) conditioned on
+        the edited Y -> the opened file's chroma planes (JFIF full-range
+        BT.601) -> grayscale replicate."""
         y = self.out[0, :, :, 0] * 255.0
+        if (getattr(self, 'chroma_params', None) is not None
+                and getattr(self, '_cbcr_input', None) is not None):
+            from exsr.utils.color import ycbcr2rgb
+            cbcr = self.decode_chroma()
+            ycbcr = np.concatenate([y[..., None], cbcr], -1)
+            # MATLAB-convention inverse (the training pipeline's rgb2ycbcr)
+            return np.clip(ycbcr2rgb(ycbcr.astype(np.float32) / 255.0),
+                           0.0, 1.0)
         ch = getattr(self, 'file_chroma', None)
         if ch is None:
             g = np.clip(y / 255.0, 0, 1)
@@ -142,6 +196,7 @@ class JPEGEditSession:
         from exsr.jpeg.codec import LUMA_Q_TABLE
         self.file_q_table = np.asarray(q_table, np.float32)
         self.file_chroma = None
+        self._cbcr_input = None
         ratio = float(np.mean(LUMA_Q_TABLE / q_table))
         if ratio < 1:
             self.qf = 50 * ratio

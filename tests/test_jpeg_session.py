@@ -78,3 +78,31 @@ def test_find_optimal_imprint_mask():
     outside = refined.copy()
     outside[best[1]:best[1] + best[3], best[0]:best[0] + best[2]] = 0
     assert outside.sum() == 0
+
+
+def test_trained_chroma_decode_path():
+    """attach_chroma: CbCr reconstructed by the chroma generator
+    conditioned on the EDITED Y (USE_Y_GENERATOR_4_CHROMA,
+    DecompCNN_model.py:23,711-729) — color output follows Y edits."""
+    import jax
+    import jax.numpy as jnp
+    from exsr.apps.jpeg_session import JPEGEditSession
+    s = JPEGEditSession(nf=16, nb=3, latent_channels=64, qf=10)
+    s.init_random_params(0)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(32, 32, 3)).astype(np.float32)
+    s.open_image(img)
+    s.attach_chroma(None, nf=16, nb=2)  # builds the chroma model config
+    s.chroma_params = s.chroma_generator.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 2, 2, 256 + 128)),
+        jnp.zeros((1, 2, 2, 0)))
+    rgb0 = s.compose_rgb()
+    assert rgb0.shape == (32, 32, 3)
+    # not a grayscale replicate: channels genuinely differ
+    assert np.abs(rgb0[..., 0] - rgb0[..., 2]).max() > 1e-3
+    cbcr0 = s.decode_chroma()
+    assert cbcr0.shape == (32, 32, 2)
+    # chroma is conditioned on the edited Y: a Y edit changes CbCr
+    s.set_uniform_z3([0.9, -0.9, 0.5])
+    cbcr1 = s.decode_chroma()
+    assert np.abs(cbcr1 - cbcr0).max() > 1e-6
