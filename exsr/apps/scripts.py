@@ -263,6 +263,30 @@ def convert_torch_g(pth: str, out_dir: str, nb: int = 23,
     print(f'converted {pth} -> {out_dir} ({n:,} params)')
 
 
+def export_g(train_ckpt: str, out_dir: str):
+    """Extract the generator params from a train_sr/train_jpeg TRAIN-state
+    checkpoint into the {'g_params'} layout consumed by eval_sr / web /
+    sessions (the reference ships per-net .pth files; our train state is
+    one joint pytree — base_model.save_network vs SRRaGAN_model.save)."""
+    import os
+    import jax
+    # pure host-side tree surgery — never stage through the TPU tunnel
+    # (eager per-leaf device puts make the restore minutes-slow)
+    jax.config.update('jax_platforms', 'cpu')
+    from exsr.train.checkpoints import CheckpointManager
+    src = CheckpointManager(os.path.abspath(train_ckpt))
+    step = src.latest_step()
+    assert step is not None, f'no checkpoints under {train_ckpt}'
+    raw = src.restore_raw(step)
+    g_params = raw['g_params']
+    dst = CheckpointManager(os.path.abspath(out_dir))
+    dst.save(0, {'g_params': g_params}, force=True)
+    dst.wait()
+    import jax
+    n = sum(x.size for x in jax.tree.leaves(g_params))
+    print(f'exported step-{step} generator ({n:,} params) -> {out_dir}')
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest='cmd', required=True)
@@ -317,6 +341,12 @@ def main(argv=None):
     s.add_argument('--scale', type=int, default=4)
     s.add_argument('--nf', type=int, default=64)
     s.add_argument('--gc', type=int, default=32)
+    s = sub.add_parser('export_g')
+    s.add_argument('--train_ckpt', required=True,
+                   help='train_sr/train_jpeg experiment ckpt dir')
+    s.add_argument('--out', required=True,
+                   help='orbax checkpoint dir (usable as --checkpoint for '
+                        'eval_sr / web)')
     args = p.parse_args(argv)
     if args.cmd == 'extract_subimages':
         extract_subimages(args.input_dir, args.output_dir, args.crop_size,
@@ -345,6 +375,8 @@ def main(argv=None):
     elif args.cmd == 'convert_torch_g':
         convert_torch_g(args.pth, args.out, args.nb, args.latent_channels,
                         args.scale, args.nf, args.gc)
+    elif args.cmd == 'export_g':
+        export_g(args.train_ckpt, args.out)
 
 
 if __name__ == '__main__':

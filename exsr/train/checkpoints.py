@@ -77,6 +77,15 @@ class CheckpointManager:
         step = max(eligible) if eligible else min(steps)
         return step, self.restore(state_template, step)
 
+    def restore_raw(self, step: int | None = None):
+        """Template-free restore of the 'state' item as a raw nested dict
+        (for tooling that extracts a sub-tree, e.g. export_g)."""
+        step = self._mgr.latest_step() if step is None else step
+        restored = self._mgr.restore(
+            step, args=ocp.args.Composite(
+                state=ocp.args.StandardRestore()))
+        return restored['state']
+
     def wait(self):
         self._mgr.wait_until_finished()
 

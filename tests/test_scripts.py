@@ -98,3 +98,35 @@ def test_extract_subimages(tmp_path):
     assert arr.shape == (64, 64, 3)
     # grid: rows [0,32] (edge gap 4 <= threshold), cols [0,32,64,76]
     assert len(files) == 8
+
+
+def test_export_g_bridges_train_state_to_eval_layout(tmp_path):
+    """export_g: full TRAIN-state ckpt -> {'g_params'} ckpt loadable by
+    the eval/web/session consumers (reference ships per-net .pth files,
+    base_model.py save_network; our train state is one joint pytree)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from exsr.train.checkpoints import CheckpointManager
+
+    g = {'conv': {'kernel': jnp.arange(12.0).reshape(3, 4),
+                  'bias': jnp.zeros(4)}}
+    state = {'g_params': g,
+             'd_params': {'w': jnp.ones(3)},
+             'opt_g': {'mu': jnp.zeros(2)},
+             'step': jnp.int32(7)}
+    src = tmp_path / 'train_ckpt'
+    mgr = CheckpointManager(str(src))
+    mgr.save(7, state, force=True)
+    mgr.wait()
+
+    out = tmp_path / 'g_only'
+    from exsr.apps.scripts import main as scripts_main
+    scripts_main(['export_g', '--train_ckpt', str(src),
+                  '--out', str(out)])
+
+    dst = CheckpointManager(str(out))
+    restored = dst.restore({'g_params': g})
+    np.testing.assert_array_equal(
+        np.asarray(restored['g_params']['conv']['kernel']),
+        np.arange(12.0).reshape(3, 4))
+    assert set(restored) == {'g_params'}
