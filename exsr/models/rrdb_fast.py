@@ -174,8 +174,13 @@ def rrdb_trunk_fast(packed, lr, z_hr=None, *, nf: int = 64, gc: int = 32,
 
     s4 = None
     if stage4_pallas:
-        from exsr.ops.pallas.stage4 import stage4_pallas as s4_kernel
-        s4 = lambda *a: s4_kernel(*a)
+        # the whole-image kernel only Mosaic-compiles up to ~32 rows on
+        # this toolchain; the row-chunked variant covers larger shapes
+        from exsr.ops.pallas import stage4 as s4mod
+        if h <= 32:
+            s4 = lambda *a: s4mod.stage4_pallas(*a)
+        else:
+            s4 = lambda *a: s4mod.stage4_pallas_chunked(*a)
 
     def block(cary, bp):
         o = _rdb_grouped(cary, z_lr, bp['rdb1'], nf, gc, stage4=s4)
@@ -222,7 +227,8 @@ def rrdbnet_apply_fast(params, lr, z_hr=None, *, nf: int = 64,
                        gc: int = 32, nb: int = 23, upscale: int = 4,
                        latent_channels: int = 3, out_nc: int = 3,
                        dtype=jnp.bfloat16, packed=None,
-                       tail_chunk: int | None = None):
+                       tail_chunk: int | None = None,
+                       stage4_pallas: bool = False):
     """Drop-in replacement for ``RRDBNet(...).apply(params, lr, z_hr)``
     (architecture.py:228-302 semantics; grouped trunk).
 
@@ -242,7 +248,8 @@ def rrdbnet_apply_fast(params, lr, z_hr=None, *, nf: int = 64,
         packed = pack_grouped_params(params, nf=nf, gc=gc,
                                      latent_channels=latent_channels)
     in_dtype = lr.dtype
-    feats = rrdb_trunk_fast(packed, lr, z_hr, nf=nf, gc=gc, dtype=dtype)
+    feats = rrdb_trunk_fast(packed, lr, z_hr, nf=nf, gc=gc, dtype=dtype,
+                            stage4_pallas=stage4_pallas)
     n = feats.shape[0]
     if tail_chunk is None or tail_chunk >= n:
         return rrdb_tail_fast(packed, feats, z_hr, upscale=upscale,

@@ -94,6 +94,32 @@ def test_stage4_pallas_matches_reference():
                                atol=1e-5)
 
 
+@pytest.mark.parametrize('h,rc', [(24, 8), (20, 8), (12, 32)])
+def test_stage4_pallas_chunked_matches_reference(h, rc):
+    """Row-chunked stage4 kernel == direct conv reference (interpret).
+
+    Covers: multi-chunk (24/8), non-divisible target falling back to a
+    divisor (20 -> r=5 via _pick_row_chunk), single-chunk (12 < 32)."""
+    import jax
+    from exsr.ops.pallas.stage4 import stage4_pallas_chunked
+    rng = np.random.default_rng(0)
+    b, w, gc, nf = 2, 12, 8, 16
+    c3 = jnp.asarray(rng.normal(size=(b, h, w, gc)).astype('f'))
+    ps = [jnp.asarray(rng.normal(size=(b, h, w, nf + k * gc)).astype('f'))
+          for k in (4, 3, 2, 1)]
+    x = jnp.asarray(rng.normal(size=(b, h, w, nf)).astype('f'))
+    w4 = jnp.asarray(rng.normal(size=(3, 3, gc, nf)).astype('f') * 0.1)
+    b4 = jnp.asarray(rng.normal(size=(nf,)).astype('f'))
+
+    conv = jax.lax.conv_general_dilated(
+        c3, w4, (1, 1), 'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    ref = (conv + b4 + sum(p[..., :nf] for p in ps)) * 0.2 + x
+    out = stage4_pallas_chunked(c3, *ps, x, w4, b4, row_chunk=rc,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5)
+
+
 def test_rdb_grouped_with_stage4_kernel_matches():
     """_rdb_grouped(stage4=pallas interpret) == plain _rdb_grouped."""
     import jax
@@ -115,5 +141,26 @@ def test_rdb_grouped_with_stage4_kernel_matches():
     ref = _rdb_grouped(x, zl, e, nf, gc)
     out = _rdb_grouped(x, zl, e, nf, gc,
                        stage4=lambda *a: stage4_pallas(*a, interpret=True))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_trunk_fast_stage4_pallas_chunked_branch():
+    """rrdb_trunk_fast(stage4_pallas=True) at h>32 routes through the
+    row-chunked kernel and matches the plain grouped trunk (interpret)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from exsr.models.rrdb import RRDBNet
+    from exsr.models.rrdb_fast import pack_grouped_params, rrdb_trunk_fast
+    nf, gc, nb, nz = 16, 8, 1, 3
+    g = RRDBNet(nf=nf, gc=gc, nb=nb, latent_channels=nz)
+    lr = jax.random.uniform(jax.random.PRNGKey(1), (1, 40, 36, 3))
+    z = jax.random.uniform(jax.random.PRNGKey(2), (1, 160, 144, nz))
+    params = g.init(jax.random.PRNGKey(0), lr, z)
+    packed = pack_grouped_params(params, nf=nf, gc=gc, latent_channels=nz)
+    ref = rrdb_trunk_fast(packed, lr, z, nf=nf, gc=gc, dtype=None)
+    with pltpu.force_tpu_interpret_mode():
+        out = rrdb_trunk_fast(packed, lr, z, nf=nf, gc=gc, dtype=None,
+                              stage4_pallas=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5)
