@@ -112,6 +112,7 @@ class JPEGEditSession:
         # the input chroma planes condition the optional trained-chroma
         # decode (and are NOT shown directly unless no generator is set)
         self._cbcr_input = ycbcr[:h, :w, 1:].astype(np.float32)
+        self._ycbcr_full_range = False  # MATLAB studio-swing convention
         self.y_image = jnp.asarray(y[:h, :w][None, ..., None])
         self.comp = self.codec.compress(self.y_image, self._qf_arr(),
                                         quantize=True)
@@ -161,6 +162,9 @@ class JPEGEditSession:
             # 128-centered like the training convention; scale differs
             # only by the 16-240 studio swing)
             self._cbcr_input = self.file_chroma.astype(np.float32)
+            # real-file planes are JFIF FULL-range; compose_rgb must use
+            # the full-range BT.601 inverse, not the MATLAB studio-swing
+            self._ycbcr_full_range = True
         return out
 
     def compose_rgb(self) -> np.ndarray:
@@ -172,8 +176,13 @@ class JPEGEditSession:
         y = self.out[0, :, :, 0] * 255.0
         if (getattr(self, 'chroma_params', None) is not None
                 and getattr(self, '_cbcr_input', None) is not None):
-            from exsr.utils.color import ycbcr2rgb
             cbcr = self.decode_chroma()
+            if getattr(self, '_ycbcr_full_range', False):
+                # real-file session: Y and conditioning chroma are JFIF
+                # full-range — studio-swing ycbcr2rgb would stretch
+                # contrast ~255/219 and crush blacks
+                return self._full_range_inverse(y, cbcr)
+            from exsr.utils.color import ycbcr2rgb
             ycbcr = np.concatenate([y[..., None], cbcr], -1)
             # MATLAB-convention inverse (the training pipeline's rgb2ycbcr)
             return np.clip(ycbcr2rgb(ycbcr.astype(np.float32) / 255.0),
@@ -182,8 +191,14 @@ class JPEGEditSession:
         if ch is None:
             g = np.clip(y / 255.0, 0, 1)
             return np.stack([g, g, g], -1)
-        cb = ch[:, :, 0] - 128.0
-        cr = ch[:, :, 1] - 128.0
+        return self._full_range_inverse(y, ch)
+
+    @staticmethod
+    def _full_range_inverse(y: np.ndarray, cbcr: np.ndarray) -> np.ndarray:
+        """Full-range BT.601 YCbCr (0..255, 128-centered chroma) -> RGB
+        [0, 1] (the JFIF convention, ITU T.871)."""
+        cb = cbcr[:, :, 0] - 128.0
+        cr = cbcr[:, :, 1] - 128.0
         r = y + 1.402 * cr
         g = y - 0.344136 * cb - 0.714136 * cr
         b = y + 1.772 * cb

@@ -280,11 +280,17 @@ def export_g(train_ckpt: str, out_dir: str):
     raw = src.restore_raw(step)
     g_params = raw['g_params']
     dst = CheckpointManager(os.path.abspath(out_dir))
-    dst.save(0, {'g_params': g_params}, force=True)
+    # save under the TRAIN step (consumers restore latest_step), so
+    # re-exporting after further training writes a NEW step instead of
+    # silently no-opping on an existing one (save returns False then)
+    wrote = dst.save(step, {'g_params': g_params}, force=True)
     dst.wait()
-    import jax
     n = sum(x.size for x in jax.tree.leaves(g_params))
-    print(f'exported step-{step} generator ({n:,} params) -> {out_dir}')
+    if not wrote:
+        print(f'step {step} already exported in {out_dir} — unchanged')
+    else:
+        print(f'exported step-{step} generator ({n:,} params) '
+              f'-> {out_dir}')
 
 
 def main(argv=None):

@@ -81,8 +81,19 @@ def main(argv=None):
         os.path.join(args.exp_dir, 'ckpt')), max_to_keep=3,
         save_interval_steps=args.ckpt_freq)
     if args.resume and ckpts.latest_step() is not None:
-        state = ckpts.restore(state)
-        print('resumed at step', int(state.step))
+        state, ctl_state = ckpts.restore(state, with_controller=True)
+        # sync the host-side controller with the restored device state —
+        # without this a resumed run restarts the whole schedule at
+        # ctl.step 0 (and the first mlog.save would truncate logs.npz)
+        ctl.step = int(state.step)
+        if ctl_state:
+            ctl.step = ctl_state['step']
+            ctl.generator_started_learning = \
+                ctl_state['generator_started_learning']
+            ctl.verified_d_saved = ctl_state['verified_d_saved']
+        if os.path.exists(log_path):
+            mlog.load(log_path, max_step=ctl.step)
+        print('resumed at step', ctl.step)
 
     ds = JPEGDataset(root=args.data_dir, patch_size=args.patch,
                      qf_spec=(((args.qf_min, args.qf_max), 1.0),),
@@ -126,6 +137,12 @@ def main(argv=None):
         print(json.dumps(rec))
         mlog.append(ctl.step, **{k: v for k, v in rec.items()
                                  if k != 'step'})
+    def _ctl_snapshot():
+        return {'step': ctl.step,
+                'generator_started_learning':
+                    ctl.generator_started_learning,
+                'verified_d_saved': ctl.verified_d_saved}
+
     t0 = time.time()
     epoch = 0
     log_accum = {}
@@ -160,9 +177,10 @@ def main(argv=None):
                 mlog.save(log_path)
             if val_ds is not None and ctl.step % args.val_freq == 0:
                 validate(state)
-            ckpts.save(ctl.step, state)
+            ckpts.save(ctl.step, state, controller_state=_ctl_snapshot())
         epoch += 1
-    ckpts.save(ctl.step, state, force=True)
+    ckpts.save(ctl.step, state, controller_state=_ctl_snapshot(),
+               force=True)
     ckpts.wait()
     mlog.save(log_path)
     mlog.dashboard(os.path.join(args.exp_dir, 'dashboards'))

@@ -190,6 +190,16 @@ def main(argv=None):
         if tb is not None:
             tb.log(step, **rec)
 
+    def _ctl_snapshot():
+        # ONE snapshot definition for both the periodic and the final
+        # forced save — these diverging is exactly how resume-after-
+        # finished broke before (missing field in one literal)
+        return {'step': ctl.step,
+                'generator_started_learning':
+                    ctl.generator_started_learning,
+                'verified_d_saved': ctl.verified_d_saved,
+                'lr_scale': ctl.lr_scale}
+
     t0 = time.time()
     epoch = 0
     log_accum = {}
@@ -248,18 +258,11 @@ def main(argv=None):
                 mlog.save(log_path)
             if val_ds and ctl.step % args.val_freq == 0:
                 validate(ctl.step)
-            ckpts.save(ctl.step, state, controller_state={
-                'step': ctl.step,
-                'generator_started_learning':
-                    ctl.generator_started_learning,
-                'verified_d_saved': ctl.verified_d_saved,
-                'lr_scale': ctl.lr_scale})
+            ckpts.save(ctl.step, state,
+                       controller_state=_ctl_snapshot())
         epoch += 1
-    ckpts.save(ctl.step, state, force=True, controller_state={
-        'step': ctl.step,
-        'generator_started_learning': ctl.generator_started_learning,
-        'verified_d_saved': ctl.verified_d_saved,
-        'lr_scale': ctl.lr_scale})
+    ckpts.save(ctl.step, state, force=True,
+               controller_state=_ctl_snapshot())
     ckpts.wait()
     mlog.save(log_path)
     mlog.dashboard(os.path.join(args.exp_dir, 'dashboards'))

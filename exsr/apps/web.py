@@ -42,6 +42,22 @@ def _decode_image(b64: str) -> np.ndarray:
     return np.asarray(img).astype(np.float32) / 255.0
 
 
+# class ids are painted as gray value id * _SCRIBBLE_QUANT on the mask
+# canvas: wide buckets survive canvas antialiasing / premultiplied-alpha
+# round-trips that corrupt raw 1..4 values at stroke edges
+_SCRIBBLE_QUANT = 32
+
+
+def _decode_scribble_mask(b64: str) -> np.ndarray:
+    from PIL import Image
+    raw = base64.b64decode(b64.split(',')[-1])
+    img = Image.open(io.BytesIO(raw)).convert('RGBA')
+    arr = np.asarray(img).astype(np.float32)
+    ids = np.round(arr[..., 0] / _SCRIBBLE_QUANT).astype(int)
+    ids[arr[..., 3] < 128] = 0  # antialiased fringe -> background
+    return ids
+
+
 class SessionApi:
     """JSON API over one EditSession (thread-serialized: edits are
     long-running device programs, so requests take a lock the same way the
@@ -91,11 +107,11 @@ class SessionApi:
 
     def optimize(self, req):
         data = dict(req.get('data') or {})
-        for key in ('desired', 'scribble_mask'):
-            if isinstance(data.get(key), str):
-                arr = _decode_image(data[key])
-                data[key] = (arr[None] if key == 'desired'
-                             else np.round(arr[..., 0] * 255).astype(int))
+        if isinstance(data.get('desired'), str):
+            data['desired'] = _decode_image(data['desired'])[None]
+        if isinstance(data.get('scribble_mask'), str):
+            data['scribble_mask'] = _decode_scribble_mask(
+                data['scribble_mask'])
         if 'desired' not in data and 'l1' in req['objective']:
             data['desired'] = self.session.sr
         out = self.session.optimize(
@@ -246,18 +262,22 @@ class SessionApi:
     def digit(self, req):
         """SVHN digit exploration (GUI.py:1517-1547): optimize Z so the
         selected region classifies as the requested digit."""
-        if getattr(self, '_svhn_apply', None) is None:
+        # cache keyed by the weights path — a later request with real
+        # weights must not silently reuse a random-init classifier
+        wkey = req.get('weights') or ''
+        if getattr(self, '_svhn_key', None) != wkey:
             import jax
             import jax.numpy as jnp
             from exsr.models.classifiers import (SVHNClassifier,
                                                  load_svhn_torch_state_dict)
             clf = SVHNClassifier()
-            if req.get('weights'):
-                variables = load_svhn_torch_state_dict(req['weights'])
+            if wkey:
+                variables = load_svhn_torch_state_dict(wkey)
             else:
                 variables = clf.init(jax.random.PRNGKey(0),
                                      jnp.zeros((1, 54, 54, 3)))
             self._svhn_apply = lambda x: clf.apply(variables, x)
+            self._svhn_key = wkey
         out = self.session.optimize(
             'digit',
             data={'classifier_apply': self._svhn_apply,
@@ -400,13 +420,7 @@ class JpegSessionApi(SessionApi):
         if s.out is None:
             return {'error': 'no image open'}
         from exsr.utils.color import rgb2ycbcr
-        imp = _decode_image(req['image'])
-        if req.get('size'):
-            from PIL import Image
-            h, w = [int(v) for v in req['size']]
-            imp = np.asarray(Image.fromarray(
-                (imp * 255 + 0.5).astype(np.uint8)).resize(
-                    (w, h), Image.BILINEAR)).astype(np.float32) / 255.0
+        imp = self._decode_imprint(req)  # shared decode+resize+rotate
         imp_y = rgb2ycbcr(imp, only_y=True)
         pos = req.get('position', [0, 0])
         y, x = int(pos[0]), int(pos[1])
@@ -632,7 +646,7 @@ function paintAt(y, x) {
  sctx.fillStyle = colors[cls] ||
    document.getElementById('scolor').value;
  sctx.beginPath(); sctx.arc(x, y, w, 0, 6.3); sctx.fill();
- const v = parseInt(cls);
+ const v = parseInt(cls) * 32;  // wide buckets: AA-proof class encoding
  mctx.fillStyle = 'rgb(' + v + ',' + v + ',' + v + ')';
  mctx.beginPath(); mctx.arc(x, y, w, 0, 6.3); mctx.fill();
  ctx.drawImage(scv, 0, 0);

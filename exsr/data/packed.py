@@ -116,15 +116,16 @@ def create_lmdb(input_dir: str, out_path: str) -> int:
     from exsr.data.datasets import list_images
     from PIL import Image
     paths = list_images(input_dir)
-    arrays = []
-    total = 0
-    for path in paths:
-        arr = np.asarray(Image.open(path).convert('RGB'), dtype=np.uint8)
-        arrays.append(arr[:, :, ::-1])  # store BGR like cv2.imread
-        total += arr.nbytes
-    env = lmdb.open(out_path, map_size=max(total * 4, 1 << 20))
+    # size the map from undecoded file sizes (x20 covers PNG/JPEG
+    # compression + lmdb overhead) instead of decoding the whole set
+    # into memory first — the reference samples 10 images for the same
+    # reason (scripts/create_lmdb.py:20-28)
+    total_files = sum(os.path.getsize(p) for p in paths)
+    env = lmdb.open(out_path, map_size=max(total_files * 20, 1 << 20))
     with env.begin(write=True) as txn:
-        for path, arr in zip(paths, arrays):
+        for path in paths:
+            arr = np.asarray(Image.open(path).convert('RGB'),
+                             dtype=np.uint8)[:, :, ::-1]  # BGR like cv2
             base = os.path.splitext(os.path.basename(path))[0]
             h, w, c = arr.shape
             txn.put(base.encode('ascii'), np.ascontiguousarray(arr))

@@ -51,14 +51,22 @@ class CheckpointManager:
         step = self._mgr.latest_step() if step is None else step
         args = {'state': ocp.args.StandardRestore(state_template)}
         if with_controller:
+            # a checkpoint without the controller item (older runs, or a
+            # different CLI's layout) is expected; any OTHER metadata
+            # failure must surface — silently restoring without the
+            # controller would restart the schedule at step 0
+            meta = self._mgr.item_metadata(step)
             try:
-                has_ctl = 'controller' in (
-                    self._mgr.item_metadata(step) or {})
-            except Exception:
-                has_ctl = False
+                has_ctl = 'controller' in meta
+            except TypeError:
+                has_ctl = 'controller' in (meta or {})
             if has_ctl:
                 args['controller'] = ocp.args.JsonRestore()
             else:
+                import warnings
+                warnings.warn(
+                    f'checkpoint step {step} has no controller item; '
+                    'resuming with controller defaults')
                 with_controller = False
                 restored = self._mgr.restore(
                     step, args=ocp.args.Composite(**args))

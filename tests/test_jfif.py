@@ -177,3 +177,33 @@ def test_fill_bytes_before_markers():
     ref = decode_jfif(data)
     np.testing.assert_array_equal(dec['components'][0].coeffs,
                                   ref['components'][0].coeffs)
+
+
+def test_trained_chroma_real_file_uses_full_range_inverse(tmp_path):
+    """Real-file session + attach_chroma: compose_rgb must invert with
+    the JFIF FULL-range BT.601 matrix, not the MATLAB studio swing —
+    otherwise contrast stretches ~255/219 and blacks crush.  With the
+    chroma generator output clamped to the input's quantization bins,
+    colors must stay near the file decode."""
+    import jax
+    import jax.numpy as jnp
+    from exsr.apps.jpeg_session import JPEGEditSession
+    rng = np.random.default_rng(5)
+    base = rng.uniform(0, 255, size=(32, 32, 3)).astype(np.float32)
+    base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) / 3
+    p = str(tmp_path / 'fr.jpg')
+    Image.fromarray(base.astype(np.uint8)).save(p, format='JPEG',
+                                                quality=90)
+    s = JPEGEditSession(nf=16, nb=3, latent_channels=64)
+    s.init_random_params(0)
+    s.open_jpeg_file(p)
+    s.attach_chroma(None, nf=16, nb=2)
+    s.chroma_params = s.chroma_generator.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 2, 2, 256 + 128)),
+        jnp.zeros((1, 2, 2, 0)))
+    rgb = s.compose_rgb()
+    ref = np.asarray(Image.open(p)).astype(np.float64) / 255.0
+    # chroma generator (random weights) is bin-clamped at q90 and Y is
+    # near the decode: a studio-swing inverse here errs ~0.08+ on this
+    # mid-gray-ish image; the correct full-range path stays close
+    assert np.abs(rgb - ref).mean() <= 0.06
