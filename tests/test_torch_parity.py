@@ -477,3 +477,85 @@ def test_full_system_cem_wrapped_parity_nonzero_z():
     down = np.asarray(filt.downscale(jnp.asarray(t_out)))
     m = cem.invalidity_margins_lr
     assert np.abs(down - lr)[:, m:-m, m:-m, :].max() < 5e-5
+
+
+# -------------------------------------------------- torch DnCNN (JPEG G)
+class _TorchDnCNN(nn.Module):
+    """Reference DnCNN generator semantics (architecture.py:109-215):
+    conv0(bias)+ReLU, middle convs (no bias)+BN(eps 1e-4)+LeakyReLU(0.01),
+    final conv (no bias)+Sigmoid; latent concatenated (z first) before
+    every conv in 'all_layers' mode; returns coeffs + (sigmoid - 0.5)."""
+
+    def __init__(self, nf, depth, in_nc, out_nc, nz):
+        super().__init__()
+        self.nz = nz
+        convs = [nn.Conv2d(in_nc + nz, nf, 3, padding=1, bias=True)]
+        self.bns = nn.ModuleList()
+        for _ in range(depth - 2):
+            convs.append(nn.Conv2d(nf + nz, nf, 3, padding=1, bias=False))
+            self.bns.append(nn.BatchNorm2d(nf, eps=1e-4, momentum=0.95))
+        convs.append(nn.Conv2d(nf + nz, out_nc, 3, padding=1, bias=False))
+        self.convs = nn.ModuleList(convs)
+
+    def forward(self, coeffs, z):
+        x = coeffs
+        for i, conv in enumerate(self.convs):
+            x = conv(torch.cat([z, x], dim=1))
+            if i == 0:
+                x = torch.relu(x)
+            elif i < len(self.convs) - 1:
+                x = self.bns[i - 1](x)
+                x = torch.nn.functional.leaky_relu(x, 0.01)
+        return coeffs + torch.sigmoid(x) - 0.5
+
+
+def test_dncnn_jpeg_generator_matches_torch():
+    """JPEG-side L2 parity: the flax DnCNN generator == the reference
+    DnCNN forward (random weights transplanted, eval-mode BN with random
+    running stats, nonzero Z, all-layers latent)."""
+    from exsr.models.dncnn import DnCNN, DnCNNConfig
+    nf, depth, in_nc, out_nc, nz = 12, 4, 64, 64, 8
+    tm = _TorchDnCNN(nf, depth, in_nc, out_nc, nz)
+    with torch.no_grad():
+        for bn in tm.bns:
+            bn.running_mean.normal_(0, 0.5)
+            bn.running_var.uniform_(0.5, 2.0)
+            bn.weight.normal_(1, 0.2)
+            bn.bias.normal_(0, 0.2)
+    tm.eval()
+
+    g = DnCNN(DnCNNConfig(n_channels=nf, depth=depth, in_nc=in_nc,
+                          out_nc=out_nc, latent_input='all_layers',
+                          num_latent_channels=nz, norm='batch'))
+    rng = np.random.default_rng(0)
+    coeffs = rng.normal(size=(2, 6, 6, in_nc)).astype(np.float32)
+    z = rng.normal(size=(2, 6, 6, nz)).astype(np.float32)
+    variables = g.init(jax.random.PRNGKey(0), jnp.asarray(coeffs),
+                       jnp.asarray(z), train=False)
+
+    # transplant torch weights into the flax pytree (OIHW -> HWIO)
+    params = jax.tree.map(lambda x: x, variables['params'])
+    stats = jax.tree.map(lambda x: x, variables.get('batch_stats', {}))
+    for i, conv in enumerate(tm.convs):
+        w = conv.weight.detach().numpy().transpose(2, 3, 1, 0)
+        params[f'conv{i}']['kernel'] = jnp.asarray(w)
+        if conv.bias is not None:
+            params[f'conv{i}']['bias'] = jnp.asarray(
+                conv.bias.detach().numpy())
+    for j, bn in enumerate(tm.bns):
+        params[f'BatchNorm_{j}']['scale'] = jnp.asarray(
+            bn.weight.detach().numpy())
+        params[f'BatchNorm_{j}']['bias'] = jnp.asarray(
+            bn.bias.detach().numpy())
+        stats[f'BatchNorm_{j}']['mean'] = jnp.asarray(
+            bn.running_mean.detach().numpy())
+        stats[f'BatchNorm_{j}']['var'] = jnp.asarray(
+            bn.running_var.detach().numpy())
+
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(coeffs.transpose(0, 3, 1, 2)),
+                 torch.from_numpy(z.transpose(0, 3, 1, 2)))
+    out = g.apply({'params': params, 'batch_stats': stats},
+                  jnp.asarray(coeffs), jnp.asarray(z), train=False)
+    np.testing.assert_allclose(
+        np.asarray(out), ref.numpy().transpose(0, 2, 3, 1), atol=2e-5)
