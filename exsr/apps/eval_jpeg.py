@@ -45,6 +45,21 @@ def main(argv=None):
                        num_latent_channels=args.latent_channels)
     g = DnCNN(gcfg)
     g_vars = None
+    if args.checkpoint:
+        # accepts either a `scripts export_g` output or a train_jpeg
+        # TRAIN-state directory (both expose a 'g_params' subtree)
+        import os as _os
+        from exsr.train.checkpoints import CheckpointManager
+        dummy = jnp.zeros((1, 8, 8, 64))
+        dz = jnp.zeros((1, 8, 8, args.latent_channels))
+        template = dict(g.init(jax.random.PRNGKey(0), dummy, dz))
+        mgr = CheckpointManager(_os.path.abspath(args.checkpoint))
+        raw = mgr.restore_raw()
+        from exsr.models.convert import align_params_to
+        g_vars = jax.tree.map(jnp.asarray,
+                              align_params_to(template, raw['g_params']))
+        print(f'loaded generator from {args.checkpoint} '
+              f'(step {mgr.latest_step()})')
 
     @jax.jit
     def decode(g_vars, comp, z, qf):

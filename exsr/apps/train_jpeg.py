@@ -68,7 +68,23 @@ def main(argv=None):
             return out
         return g.apply(params, coeffs, z)
 
-    trainer = DecompTrainer(cfg, g_apply, flax_d_adapter(d))
+    def g_stats_apply(params, coeffs, z):
+        # thread the BN running-stats EMA through the train step — the
+        # torch reference updates them on every train-mode forward;
+        # dropping them leaves eval-mode inference on init stats
+        if 'batch_stats' not in params:
+            return params
+        _, mut = g.apply(params, coeffs, z, train=True,
+                         mutable=['batch_stats'])
+        return dict(params, batch_stats=mut['batch_stats'])
+
+    trainer = DecompTrainer(cfg, g_apply, flax_d_adapter(d),
+                            g_stats_apply=g_stats_apply)
+
+    # validation measures the DEPLOYED semantics: eval-mode BN (running
+    # stats), exactly what eval_jpeg / sessions run after export
+    decode_eval = jax.jit(lambda p, c, z, qf: trainer.codec.extract(
+        g.apply(p, c, z, train=False), qf))
     state = trainer.init_state(g_vars, d_vars,
                                jax.random.PRNGKey(args.seed + 2))
     ctl = GANController(d_update_ratio=10, d_valid_steps_4_g=10,
@@ -124,7 +140,7 @@ def main(argv=None):
             for zv in z_vals:
                 z = jnp.full((1, hb_, wb_, cfg.num_latent_channels), zv)
                 out = np.asarray(jnp.clip(
-                    trainer.decode(state.g_params, comp, z, qf), 0, 255))
+                    decode_eval(state.g_params, comp, z, qf), 0, 255))
                 outs.append(out[0, :, :, 0])
                 psnrs.append(calculate_psnr(
                     out[0, :, :, 0], np.asarray(uncomp)[0, :, :, 0]))

@@ -120,10 +120,18 @@ class DecompTrainer:
     follows the same contract as the SR trainer."""
 
     def __init__(self, cfg: DecompConfig, g_apply: Callable,
-                 d_apply: Callable | None):
+                 d_apply: Callable | None,
+                 g_stats_apply: Callable | None = None):
         self.cfg = cfg
         self.g_apply = g_apply
         self.d_apply = d_apply
+        # optional BatchNorm running-stats updater: called once per g_step
+        # after the param update with (g_params, comp, z) -> g_params with
+        # refreshed 'batch_stats'.  The reference's torch BN accumulates
+        # running stats on every train-mode forward (DecompCNN_model.py
+        # netG.train()); in flax the mutated stats must be threaded
+        # explicitly or eval-mode inference silently runs on init stats.
+        self.g_stats_apply = g_stats_apply
         self.codec = JPEGCodec()
         # integer latent_channels means plain control channels with no
         # L_struct loss (loss.py:38: model_training iff the descriptor is a
@@ -331,6 +339,8 @@ class DecompTrainer:
         upd, g_opt = self.g_tx.update(grads, state.g_opt, state.g_params)
         upd = jax.tree.map(lambda u: lr * u, upd)
         g_params = optax.apply_updates(state.g_params, upd)
+        if self.g_stats_apply is not None:
+            g_params = self.g_stats_apply(g_params, comp, z_static)
         return state.replace(g_params=g_params, g_opt=g_opt,
                              ratio_stats=new_stats, rng=rng), metrics
 

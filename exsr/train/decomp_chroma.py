@@ -61,7 +61,8 @@ class ChromaDecompTrainer:
     generator; ``d_apply`` as elsewhere."""
 
     def __init__(self, cfg: DecompConfig, gy_apply: Callable,
-                 gc_apply: Callable, d_apply: Callable | None):
+                 gc_apply: Callable, d_apply: Callable | None,
+                 g_stats_apply: Callable | None = None):
         assert cfg.chroma_mode
         self.cfg = cfg
         self.codec_y = JPEGCodec()
@@ -69,6 +70,8 @@ class ChromaDecompTrainer:
         self.gy_apply = gy_apply
         self.gc_apply = gc_apply
         self.d_apply = d_apply
+        # see DecompTrainer: flax BN running stats must be threaded
+        self.g_stats_apply = g_stats_apply
         self.g_tx = optax.chain(optax.scale_by_adam(b1=cfg.beta1),
                                 optax.scale(-1.0))
         self.d_tx = optax.chain(optax.scale_by_adam(b1=cfg.beta1),
@@ -194,6 +197,9 @@ class ChromaDecompTrainer:
                                        state.gc_params)
         upd = jax.tree.map(lambda u: lr_g * u, upd)
         gc_params = optax.apply_updates(state.gc_params, upd)
+        if self.g_stats_apply is not None:
+            gc_params = self.g_stats_apply(
+                gc_params, packed, jnp.zeros(packed.shape[:3] + (0,)))
         metrics.update(g_metrics)
         return state.replace(gc_params=gc_params, gc_opt=gc_opt,
                              d_vars=d_vars, d_opt=d_opt, rng=rng,

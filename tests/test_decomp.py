@@ -75,3 +75,42 @@ def test_repeat_z_round_trip():
     assert z64.shape[-1] == 64
     back = z_to_3_channels(z64)
     np.testing.assert_allclose(np.asarray(back), np.asarray(z3), atol=1e-6)
+
+
+def test_g_step_updates_bn_running_stats():
+    """The torch reference updates BN running stats on every train-mode
+    forward (netG.train()); with flax they must be threaded through the
+    g_step explicitly (g_stats_apply) or eval-mode inference silently
+    runs on the INIT stats (mean 0 / var 1) — the bug that made a
+    trained checkpoint score worse than plain JPEG through eval_jpeg."""
+    cfg = DecompConfig(latent_channels=64, optimal_z_iters=2,
+                       dct_premult_d=True)
+    gcfg = DnCNNConfig(n_channels=16, depth=3,
+                       num_latent_channels=cfg.num_latent_channels)
+    g = DnCNN(gcfg)
+    d = DnCNNDiscriminator(n_channels=16, depth=3, expected_input_size=8,
+                           norm='layer')
+    coeffs0 = jnp.zeros((1, 8, 8, 64))
+    z0 = jnp.zeros((1, 8, 8, 64))
+    g_vars = dict(g.init(jax.random.PRNGKey(0), coeffs0, z0))
+    assert 'batch_stats' in g_vars, 'BN generator expected'
+    d_vars = dict(d.init(jax.random.PRNGKey(1), coeffs0))
+
+    def g_apply(params, coeffs, z):
+        return g.apply(params, coeffs, z, train=True,
+                       mutable=['batch_stats'])[0]
+
+    def g_stats_apply(params, coeffs, z):
+        _, mut = g.apply(params, coeffs, z, train=True,
+                         mutable=['batch_stats'])
+        return dict(params, batch_stats=mut['batch_stats'])
+
+    trainer = DecompTrainer(cfg, g_apply, flax_d_adapter(d),
+                            g_stats_apply=g_stats_apply)
+    state = trainer.init_state(g_vars, d_vars, jax.random.PRNGKey(2))
+    before = jax.tree.map(np.asarray, g_vars['batch_stats'])
+    state, _ = trainer.g_step(state, _batch(), dual=False, use_gan=False)
+    after = jax.tree.map(np.asarray, state.g_params['batch_stats'])
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(a - b).max()), before, after))
+    assert max(diffs) > 1e-6, 'running stats did not move'
