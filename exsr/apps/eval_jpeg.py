@@ -28,6 +28,8 @@ def main(argv=None):
     p.add_argument('--nb', type=int, default=10)
     p.add_argument('--latent_channels', type=int, default=64)
     p.add_argument('--checkpoint')
+    p.add_argument('--step', type=int, default=None,
+                   help='checkpoint step to load (default: latest)')
     p.add_argument('--out_dir', default='results_jpeg')
     p.add_argument('--max_images', type=int, default=None)
     args = p.parse_args(argv)
@@ -54,12 +56,12 @@ def main(argv=None):
         dz = jnp.zeros((1, 8, 8, args.latent_channels))
         template = dict(g.init(jax.random.PRNGKey(0), dummy, dz))
         mgr = CheckpointManager(_os.path.abspath(args.checkpoint))
-        raw = mgr.restore_raw()
+        step = args.step if args.step is not None else mgr.latest_step()
+        raw = mgr.restore_raw(step)
         from exsr.models.convert import align_params_to
         g_vars = jax.tree.map(jnp.asarray,
                               align_params_to(template, raw['g_params']))
-        print(f'loaded generator from {args.checkpoint} '
-              f'(step {mgr.latest_step()})')
+        print(f'loaded generator from {args.checkpoint} (step {step})')
 
     @jax.jit
     def decode(g_vars, comp, z, qf):
