@@ -57,6 +57,8 @@ def main(argv=None):
         template = dict(g.init(jax.random.PRNGKey(0), dummy, dz))
         mgr = CheckpointManager(_os.path.abspath(args.checkpoint))
         step = args.step if args.step is not None else mgr.latest_step()
+        assert step is not None, \
+            f'no checkpoints under {args.checkpoint}'
         raw = mgr.restore_raw(step)
         from exsr.models.convert import align_params_to
         g_vars = jax.tree.map(jnp.asarray,

@@ -69,17 +69,16 @@ def main(argv=None):
         return g.apply(params, coeffs, z)
 
     def g_stats_apply(params, coeffs, z):
-        # thread the BN running-stats EMA through the train step — the
-        # torch reference updates them on every train-mode forward;
+        # loss forward that ALSO returns the mutated BN running stats —
+        # the torch reference updates them on every train-mode forward;
         # dropping them leaves eval-mode inference on init stats
-        if 'batch_stats' not in params:
-            return params
-        _, mut = g.apply(params, coeffs, z, train=True,
-                         mutable=['batch_stats'])
-        return dict(params, batch_stats=mut['batch_stats'])
+        out, mut = g.apply(params, coeffs, z, train=True,
+                           mutable=['batch_stats'])
+        return out, mut['batch_stats']
 
-    trainer = DecompTrainer(cfg, g_apply, flax_d_adapter(d),
-                            g_stats_apply=g_stats_apply)
+    trainer = DecompTrainer(
+        cfg, g_apply, flax_d_adapter(d),
+        g_stats_apply=g_stats_apply if 'batch_stats' in g_vars else None)
 
     # validation measures the DEPLOYED semantics: eval-mode BN (running
     # stats), exactly what eval_jpeg / sessions run after export

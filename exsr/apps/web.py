@@ -44,8 +44,10 @@ def _decode_image(b64: str) -> np.ndarray:
 
 # class ids are painted as gray value id * _SCRIBBLE_QUANT on the mask
 # canvas: wide buckets survive canvas antialiasing / premultiplied-alpha
-# round-trips that corrupt raw 1..4 values at stroke edges
-_SCRIBBLE_QUANT = 32
+# round-trips that corrupt raw 1..4 values at stroke edges.  16-wide
+# buckets keep ids up to 15 inside the 0..255 gray range (TV region ids
+# auto-increment from 4; the client wraps at 15)
+_SCRIBBLE_QUANT = 16
 
 
 def _decode_scribble_mask(b64: str) -> np.ndarray:
@@ -53,7 +55,12 @@ def _decode_scribble_mask(b64: str) -> np.ndarray:
     raw = base64.b64decode(b64.split(',')[-1])
     img = Image.open(io.BytesIO(raw)).convert('RGBA')
     arr = np.asarray(img).astype(np.float32)
-    ids = np.round(arr[..., 0] / _SCRIBBLE_QUANT).astype(int)
+    if arr[..., 0].max() <= 8:
+        # legacy wire format: raw class ids as gray values (pre-bucket
+        # clients) — still accepted
+        ids = np.round(arr[..., 0]).astype(int)
+    else:
+        ids = np.round(arr[..., 0] / _SCRIBBLE_QUANT).astype(int)
     ids[arr[..., 3] < 128] = 0  # antialiased fringe -> background
     return ids
 
@@ -646,7 +653,7 @@ function paintAt(y, x) {
  sctx.fillStyle = colors[cls] ||
    document.getElementById('scolor').value;
  sctx.beginPath(); sctx.arc(x, y, w, 0, 6.3); sctx.fill();
- const v = parseInt(cls) * 32;  // wide buckets: AA-proof class encoding
+ const v = parseInt(cls) * 16;  // wide buckets: AA-proof class encoding
  mctx.fillStyle = 'rgb(' + v + ',' + v + ',' + v + ')';
  mctx.beginPath(); mctx.arc(x, y, w, 0, 6.3); mctx.fill();
  ctx.drawImage(scv, 0, 0);
@@ -728,7 +735,10 @@ cv.onmousedown = (e) => {
  const b = cv.getBoundingClientRect();
  const y = e.clientY - b.top, x = e.clientX - b.left;
  if (document.getElementById('paintmode').checked) {
-  if (document.getElementById('sclass').value === '4') tvCur = tvNext++;
+  if (document.getElementById('sclass').value === '4') {
+   tvCur = tvNext;                     // ids 4..15 fit the 16-wide buckets
+   tvNext = tvNext >= 15 ? 4 : tvNext + 1;
+  }
   painting = true; paintAt(y, x); return;
  }
  if (!document.getElementById('selmode').checked) return;

@@ -116,12 +116,15 @@ def create_lmdb(input_dir: str, out_path: str) -> int:
     from exsr.data.datasets import list_images
     from PIL import Image
     paths = list_images(input_dir)
-    # size the map from undecoded file sizes (x20 covers PNG/JPEG
-    # compression + lmdb overhead) instead of decoding the whole set
-    # into memory first — the reference samples 10 images for the same
-    # reason (scripts/create_lmdb.py:20-28)
-    total_files = sum(os.path.getsize(p) for p in paths)
-    env = lmdb.open(out_path, map_size=max(total_files * 20, 1 << 20))
+    # size the map from a DECODED-bytes sample (reference samples 10
+    # images, scripts/create_lmdb.py:20-28) instead of decoding the
+    # whole set into memory — compressed-size heuristics underestimate
+    # badly for high-ratio JPEGs
+    sample = paths[:10]
+    decoded = [np.asarray(Image.open(p).convert('RGB')).nbytes
+               for p in sample]
+    est_total = int(np.mean(decoded)) * len(paths)
+    env = lmdb.open(out_path, map_size=max(est_total * 4, 1 << 20))
     with env.begin(write=True) as txn:
         for path in paths:
             arr = np.asarray(Image.open(path).convert('RGB'),

@@ -116,8 +116,13 @@ class DnCNN(nn.Module):
                 x = nn.relu(x)
             else:
                 if cfg.norm == 'batch':
+                    # reference: BatchNorm2d(eps=1e-4, momentum=0.95)
+                    # (architecture.py:161). torch momentum is the NEW-
+                    # batch weight (ra = 0.05*ra + 0.95*new); flax's is
+                    # the OLD weight — the equivalent flax momentum is
+                    # 1 - 0.95 = 0.05
                     x = nn.BatchNorm(use_running_average=not train,
-                                     momentum=0.95, epsilon=1e-4)(x)
+                                     momentum=0.05, epsilon=1e-4)(x)
                 elif cfg.norm == 'instance':
                     m = x.mean(axis=(1, 2), keepdims=True)
                     v = x.var(axis=(1, 2), keepdims=True)

@@ -175,11 +175,13 @@ def rrdb_trunk_fast(packed, lr, z_hr=None, *, nf: int = 64, gc: int = 32,
     s4 = None
     if stage4_pallas:
         # the whole-image kernel only Mosaic-compiles up to ~32 rows on
-        # this toolchain; the row-chunked variant covers larger shapes
+        # this toolchain; the row-chunked variant covers larger shapes.
+        # Degenerate chunking (no divisor of h >= 8 --> 1-2-row chunks,
+        # far slower than XLA) falls back to the XLA epilogue.
         from exsr.ops.pallas import stage4 as s4mod
         if h <= 32:
             s4 = lambda *a: s4mod.stage4_pallas(*a)
-        else:
+        elif s4mod._pick_row_chunk(h) >= 8:
             s4 = lambda *a: s4mod.stage4_pallas_chunked(*a)
 
     def block(cary, bp):

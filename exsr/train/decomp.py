@@ -125,12 +125,14 @@ class DecompTrainer:
         self.cfg = cfg
         self.g_apply = g_apply
         self.d_apply = d_apply
-        # optional BatchNorm running-stats updater: called once per g_step
-        # after the param update with (g_params, comp, z) -> g_params with
-        # refreshed 'batch_stats'.  The reference's torch BN accumulates
-        # running stats on every train-mode forward (DecompCNN_model.py
-        # netG.train()); in flax the mutated stats must be threaded
-        # explicitly or eval-mode inference silently runs on init stats.
+        # optional BatchNorm running-stats capture:
+        # ``g_stats_apply(g_params, coeffs, z) -> (out, batch_stats)``.
+        # The reference's torch BN accumulates running stats on every
+        # train-mode forward (DecompCNN_model.py netG.train()); in flax
+        # the mutated collection must be threaded explicitly or eval-mode
+        # inference silently runs on init stats.  When set, the g_step's
+        # static-Z loss forward uses it and the fresh stats ride the
+        # has_aux channel into the updated state — no extra forward.
         self.g_stats_apply = g_stats_apply
         self.codec = JPEGCodec()
         # integer latent_channels means plain control channels with no
@@ -304,9 +306,16 @@ class DecompTrainer:
             total = 0.0
             metrics = {}
             new_stats = state.ratio_stats
+            new_bn = None
             zs = ([(z_opt, True)] if dual else []) + [(z_static, False)]
             for z, is_opt in zs:
-                coeffs = self.g_apply(g_params, comp, z)
+                if (not is_opt) and self.g_stats_apply is not None:
+                    # capture BN running stats from the train-mode
+                    # forward (torch semantics: stats update during the
+                    # loss forward, pre-update params)
+                    coeffs, new_bn = self.g_stats_apply(g_params, comp, z)
+                else:
+                    coeffs = self.g_apply(g_params, comp, z)
                 img = self.codec.extract(coeffs, qf)
                 if cfg.range_weight:
                     l_range = L.range_loss(img / 255.0)
@@ -331,16 +340,16 @@ class DecompTrainer:
                         / n_steps
                     metrics['l_g_gan'] = l_gan
             metrics['l_g_total'] = total
-            return total, (metrics, new_stats)
+            return total, (metrics, new_stats, new_bn)
 
-        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+        (loss, (metrics, new_stats, new_bn)), grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.g_params)
         lr = multistep_lr(cfg.lr_g, cfg.lr_steps, cfg.lr_gamma, state.step)
         upd, g_opt = self.g_tx.update(grads, state.g_opt, state.g_params)
         upd = jax.tree.map(lambda u: lr * u, upd)
         g_params = optax.apply_updates(state.g_params, upd)
-        if self.g_stats_apply is not None:
-            g_params = self.g_stats_apply(g_params, comp, z_static)
+        if new_bn is not None:
+            g_params = dict(g_params, batch_stats=new_bn)
         return state.replace(g_params=g_params, g_opt=g_opt,
                              ratio_stats=new_stats, rng=rng), metrics
 

@@ -70,7 +70,9 @@ class ChromaDecompTrainer:
         self.gy_apply = gy_apply
         self.gc_apply = gc_apply
         self.d_apply = d_apply
-        # see DecompTrainer: flax BN running stats must be threaded
+        # see DecompTrainer: ``g_stats_apply(params, packed, z) ->
+        # (coeffs, batch_stats)`` captures flax BN running stats from the
+        # train-mode loss forward
         self.g_stats_apply = g_stats_apply
         self.g_tx = optax.chain(optax.scale_by_adam(b1=cfg.beta1),
                                 optax.scale(-1.0))
@@ -168,8 +170,15 @@ class ChromaDecompTrainer:
         # ---- G step: pixel-domain chroma L1 + range + gan
         def g_loss_fn(gc_params):
             m = {}
-            chroma_coeffs = self.gc_apply(
-                gc_params, packed, jnp.zeros(packed.shape[:3] + (0,)))
+            z16 = jnp.zeros(packed.shape[:3] + (0,))
+            if self.g_stats_apply is not None:
+                # capture BN running stats from the train-mode loss
+                # forward (see DecompTrainer)
+                chroma_coeffs, new_bn = self.g_stats_apply(
+                    gc_params, packed, z16)
+            else:
+                new_bn = None
+                chroma_coeffs = self.gc_apply(gc_params, packed, z16)
             chroma_img = self.codec.extract_ycbcr(chroma_coeffs, qf)
             l = 0.0
             l_pix = jnp.abs(chroma_img / 255.0
@@ -188,8 +197,8 @@ class ChromaDecompTrainer:
                 m['l_g_gan'] = l_gan
                 l = l + (cfg.gan_weight or 0.0) * l_gan
             m['l_g_total'] = l
-            return l, m
-        (g_loss, g_metrics), g_grads = jax.value_and_grad(
+            return l, (m, new_bn)
+        (g_loss, (g_metrics, new_bn)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.gc_params)
         lr_g = multistep_lr(cfg.lr_g, cfg.lr_steps, cfg.lr_gamma,
                             state.step)
@@ -197,9 +206,8 @@ class ChromaDecompTrainer:
                                        state.gc_params)
         upd = jax.tree.map(lambda u: lr_g * u, upd)
         gc_params = optax.apply_updates(state.gc_params, upd)
-        if self.g_stats_apply is not None:
-            gc_params = self.g_stats_apply(
-                gc_params, packed, jnp.zeros(packed.shape[:3] + (0,)))
+        if new_bn is not None:
+            gc_params = dict(gc_params, batch_stats=new_bn)
         metrics.update(g_metrics)
         return state.replace(gc_params=gc_params, gc_opt=gc_opt,
                              d_vars=d_vars, d_opt=d_opt, rng=rng,

@@ -101,9 +101,9 @@ def test_g_step_updates_bn_running_stats():
                        mutable=['batch_stats'])[0]
 
     def g_stats_apply(params, coeffs, z):
-        _, mut = g.apply(params, coeffs, z, train=True,
-                         mutable=['batch_stats'])
-        return dict(params, batch_stats=mut['batch_stats'])
+        out, mut = g.apply(params, coeffs, z, train=True,
+                           mutable=['batch_stats'])
+        return out, mut['batch_stats']
 
     trainer = DecompTrainer(cfg, g_apply, flax_d_adapter(d),
                             g_stats_apply=g_stats_apply)

@@ -219,8 +219,8 @@ def test_editing_tools_flow(server, tmp_path):
     smask[30:40, 30:50] = 1                      # class 1 = color
     smask[50:60, 30:50] = 2                      # class 2 = brighten
     smask[70:78, 30:50] = 5                      # TV region id
-    # the wire format scales ids by 32 (AA-proof buckets, web.py client)
-    mask_rgb = np.repeat(smask[..., None], 3, -1) * 32 / 255.0
+    # the wire format scales ids by 16 (AA-proof buckets, web.py client)
+    mask_rgb = np.repeat(smask[..., None], 3, -1) * 16 / 255.0
     out = _post(server, 'optimize', {
         'objective': 'scribble', 'max_iters': 4,
         'data': {'desired': _png_b64(desired),
