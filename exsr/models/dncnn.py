@@ -208,8 +208,9 @@ class DnCNNDiscriminator(nn.Module):
                     v = x.var(axis=(1, 2, 3), keepdims=True)
                     x = (x - m) / jnp.sqrt(v + 1e-5)
                 elif self.norm == 'batch':
+                    # torch momentum 0.95 (new-batch weight) == flax 0.05
                     x = nn.BatchNorm(use_running_average=not train,
-                                     momentum=0.95, epsilon=1e-4)(x)
+                                     momentum=0.05, epsilon=1e-4)(x)
                 x = nn.leaky_relu(x, 0.01)
         if self.pooling_no_fc:
             return x

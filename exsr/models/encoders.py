@@ -58,7 +58,9 @@ class ConvBNRelu(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (3, 3), padding=1)(x)
         if self.with_bn:
-            x = nn.BatchNorm(use_running_average=not train)(x)
+            # torch default momentum 0.1 (new-batch weight) == flax 0.9
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9)(x)
         return nn.relu(x)
 
 
