@@ -274,3 +274,33 @@ def test_page_script_consistency():
     for ep in endpoints:
         assert callable(getattr(SessionApi, ep, None)), \
             f'page calls missing endpoint {ep}'
+
+
+def test_scribble_mask_decode_formats():
+    """_decode_scribble_mask: 16-wide bucket wire format with AA fringe
+    gating, plus the legacy raw-id format (values <= 8) still accepted."""
+    import base64
+    import io
+    from PIL import Image
+    from exsr.apps.web import _decode_scribble_mask
+
+    def b64_rgba(arr):
+        buf = io.BytesIO()
+        Image.fromarray(arr, 'RGBA').save(buf, format='PNG')
+        return 'data:image/png;base64,' + base64.b64encode(
+            buf.getvalue()).decode()
+
+    a = np.zeros((4, 6, 4), np.uint8)
+    a[0, 0] = [2 * 16, 2 * 16, 2 * 16, 255]     # class 2
+    a[1, 1] = [15 * 16, 15 * 16, 15 * 16, 255]  # TV id 15 (max)
+    a[2, 2] = [2 * 16 + 3, 2 * 16 + 3, 2 * 16 + 3, 255]  # AA noise -> 2
+    a[3, 3] = [2 * 16, 2 * 16, 2 * 16, 40]      # low alpha -> background
+    ids = _decode_scribble_mask(b64_rgba(a))
+    assert ids[0, 0] == 2 and ids[1, 1] == 15 and ids[2, 2] == 2
+    assert ids[3, 3] == 0 and ids[0, 5] == 0
+
+    legacy = np.zeros((3, 3, 4), np.uint8)
+    legacy[0, 0] = [1, 1, 1, 255]
+    legacy[1, 1] = [5, 5, 5, 255]   # TV region id, raw
+    ids = _decode_scribble_mask(b64_rgba(legacy))
+    assert ids[0, 0] == 1 and ids[1, 1] == 5
