@@ -39,15 +39,49 @@ def enable_persistent_cache(cache_dir: str | None = None) -> None:
         pass  # older jaxlib without the knobs: cache is best-effort
 
 
+def _tracing() -> bool:
+    """True when called under an active jax trace (inside another jit)."""
+    try:
+        from jax._src import core
+        return not core.trace_state_clean()
+    except Exception:
+        return False
+
+
 def tuned_jit(fun=None, **jit_kwargs):
     """``jax.jit`` with :data:`TPU_COMPILER_OPTIONS` on TPU backends.
 
     Drop-in: ``tuned_jit(f)`` or ``@tuned_jit`` / ``tuned_jit(f,
     static_argnums=...)``.
+
+    The returned callable is safe to use INSIDE another jit: JAX rejects
+    ``compiler_options`` on nested jits (a top-level-only argument), so
+    when invoked under an active trace — e.g. a session's jitted crop
+    forward closed over by the Z-optimizer's compiled scan — the wrapped
+    function is inlined instead (a nested jit is inlined by XLA anyway;
+    the options apply to whichever jit is actually top-level).
     """
     if fun is None:
         return lambda f: tuned_jit(f, **jit_kwargs)
     if _on_tpu() and 'compiler_options' not in jit_kwargs:
         jit_kwargs = dict(jit_kwargs,
                           compiler_options=TPU_COMPILER_OPTIONS)
-    return jax.jit(fun, **jit_kwargs)
+    jitted = jax.jit(fun, **jit_kwargs)
+    if 'compiler_options' not in jit_kwargs:
+        return jitted
+
+    import functools
+
+    @functools.wraps(fun)
+    def wrapper(*args, **kwargs):
+        if _tracing() or any(
+                isinstance(leaf, jax.core.Tracer)
+                for leaf in jax.tree_util.tree_leaves((args, kwargs))):
+            return fun(*args, **kwargs)
+        return jitted(*args, **kwargs)
+
+    # expose the underlying jit for callers that need .lower()/.clear_cache
+    wrapper.jitted = jitted
+    wrapper.lower = jitted.lower
+    wrapper.clear_cache = jitted.clear_cache
+    return wrapper
