@@ -47,6 +47,27 @@ def test_tuned_jit_exposes_lower(monkeypatch):
     assert callable(tj.clear_cache)
 
 
+def test_session_objective_with_compiler_options(monkeypatch):
+    """Full-stack regression for the on-TPU crash: with compiler options
+    active (CPU-valid stand-in flag), a non-cacheable session objective
+    must run — its tuned_jit crop forward is traced inside the
+    Z-optimizer's own tuned_jit scan."""
+    monkeypatch.setattr(compile_mod, '_on_tpu', lambda: True)
+    monkeypatch.setattr(compile_mod, 'TPU_COMPILER_OPTIONS',
+                        {'xla_cpu_enable_fast_math': False})
+    from exsr.apps.session import EditSession
+    s = EditSession(scale=4, nb=1, time_budget_s=5.0)
+    s.init_random_params(0)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    s.open_image(img, is_hr=True)
+    m = np.zeros(s.region_mask_hr.shape, np.float32)
+    m[16:48, 16:48] = 1.0
+    s.set_region(m)
+    r = s.optimize('STD_increase', max_iters=2)
+    assert np.isfinite(r['final_loss'])
+
+
 def test_tuned_jit_plain_on_cpu():
     # CPU branch: a plain jax.jit, usable top-level and nested
     tj = compile_mod.tuned_jit(lambda x: x * 3)
