@@ -36,6 +36,13 @@ def main(argv=None):
     p.add_argument('--d_nf', type=int, default=64)
     p.add_argument('--d_strides', type=int, default=5)
     p.add_argument('--niter', type=int, default=None)
+    p.add_argument('--accum_g', type=int, default=1,
+                   help='G-step gradient-accumulation microbatches '
+                        '(virtual batch semantics, options.py:134-157); '
+                        'use 2+ when the adversarial G step exceeds HBM '
+                        'at the flagship batch')
+    p.add_argument('--accum_d', type=int, default=1,
+                   help='D-step gradient-accumulation microbatches')
     p.add_argument('--exp_dir', default='experiments/explorable_sr')
     p.add_argument('--val_freq', type=int, default=500)
     p.add_argument('--ckpt_freq', type=int, default=1000)
@@ -79,6 +86,10 @@ def main(argv=None):
         args.batch = exp.train_data.batch_size
     if args.niter:
         cfg = cfg.__class__(**{**cfg.__dict__, 'niter': args.niter})
+    if args.accum_g > 1 or args.accum_d > 1:
+        cfg = cfg.__class__(**{**cfg.__dict__,
+                               'grad_accum_g': args.accum_g,
+                               'grad_accum_d': args.accum_d})
     if args.init_phase:
         # L1 pixel + range only, higher LR, no MAP/latent/GAN terms
         cfg = cfg.__class__(**{**cfg.__dict__, 'pixel_weight': 1.0,

@@ -324,6 +324,32 @@ def test_train_sr_cli_end_to_end(tmp_path):
     assert max(steps) >= 4
 
 
+def test_train_sr_cli_accum_flags(tmp_path):
+    """--accum_g/--accum_d thread into the compiled steps (virtual-batch
+    microbatch scans, options.py:134-157 semantics) — the CLI path used
+    on the real TPU when the adversarial G step exceeds HBM at the
+    flagship batch."""
+    import os
+    from PIL import Image
+    rng = np.random.default_rng(2)
+    hr_dir = tmp_path / 'hr'
+    hr_dir.mkdir()
+    for i in range(2):
+        arr = (rng.uniform(size=(128, 128, 3)) * 255).astype('uint8')
+        Image.fromarray(arr).save(hr_dir / f'im{i}.png')
+    exp = str(tmp_path / 'exp')
+    from exsr.apps.train_sr import main
+    main(['--hr_dir', str(hr_dir), '--scale', '4', '--patch', '112',
+          '--batch', '2', '--nb', '1', '--nf', '8', '--d_nb', '4',
+          '--d_nf', '8', '--d_strides', '1', '--exp_dir', exp,
+          '--print_freq', '1', '--niter', '2',
+          '--accum_g', '2', '--accum_d', '2'])
+    from exsr.utils.logging import MetricLog
+    m = MetricLog()
+    m.load(os.path.join(exp, 'logs.npz'))
+    assert m.last('l_d_total') is not None
+
+
 @pytest.mark.slow
 def test_train_sr_cli_init_phase(tmp_path):
     """--init_phase: G-only pixel+range pretraining (the zero-egress
