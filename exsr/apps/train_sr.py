@@ -87,9 +87,14 @@ def main(argv=None):
     if args.niter:
         cfg = cfg.__class__(**{**cfg.__dict__, 'niter': args.niter})
     if args.accum_g > 1 or args.accum_d > 1:
-        cfg = cfg.__class__(**{**cfg.__dict__,
-                               'grad_accum_g': args.accum_g,
-                               'grad_accum_d': args.accum_d})
+        # override each field only when its own flag was set — an --opt
+        # JSON may have configured the other one (batch_size_4_grads_*)
+        cfg = cfg.__class__(**{
+            **cfg.__dict__,
+            'grad_accum_g': (args.accum_g if args.accum_g > 1
+                             else cfg.grad_accum_g),
+            'grad_accum_d': (args.accum_d if args.accum_d > 1
+                             else cfg.grad_accum_d)})
     if args.init_phase:
         # L1 pixel + range only, higher LR, no MAP/latent/GAN terms
         cfg = cfg.__class__(**{**cfg.__dict__, 'pixel_weight': 1.0,
