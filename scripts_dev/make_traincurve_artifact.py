@@ -24,6 +24,8 @@ def main():
         shutil.copytree(os.path.join(exp, 'dashboards'),
                         os.path.join(art, 'dashboards'),
                         dirs_exist_ok=True)
+    gate_open = (int(d['l_g_gan'][0][0])
+                 if 'l_g_gan' in d.files and len(d['l_g_gan']) else None)
     out = {
         'what': ('SR training convergence on the real TPU v5e at the '
                  'flagship config (23-block G, VGG-128 D, HR 208, batch '
@@ -31,23 +33,31 @@ def main():
                  '(pixel+range, the zero-egress ESRGAN-warm-start '
                  'stand-in), then a wgan-gp GAN phase at the reference '
                  'lr 1e-5 extended to the final step below'),
-        'init_phase_val_psnr': series(d, 'psnr_val'),
+        'val_psnr': series(d, 'psnr_val'),
+        'val_per_pixel_std': series(d, 'per_pix_STD_val', 6),
         'd_metrics_tail': {
             'D_logits_diff': series(d, 'D_logits_diff', 4)[-10:],
             'Correctly_distinguished':
                 series(d, 'Correctly_distinguished', 3)[-10:],
             'l_d_total': series(d, 'l_d_total', 4)[-10:],
         },
+        'g_gan_phase': {
+            'gate_opened_step': gate_open,
+            'l_g_gan': series(d, 'l_g_gan', 4),
+            'l_g_total': series(d, 'l_g_total', 4),
+        },
         'gan_gate_reading': (
-            'the D-verification gate (10 consecutive windows with '
+            'the D-verification gate (10 consecutive steps with '
             'logits-diff > log(1.05) and correct > 0.9, '
-            'SRRaGAN_model.py:379-382 semantics) stays closed through '
-            'this horizon at the reference lr 1e-5 — G remains at its '
-            'init-phase optimum (val PSNR constant), D trends up '
-            '(correct 0.31 -> 0.66 windows). The reference schedule '
-            'opens GAN pressure over 1e4-1e5 of its 510k iterations; '
-            'a CPU probe (scripts_dev level) confirms the d_step wiring '
-            'learns blur-vs-sharp.'),
+            'SRRaGAN_model.py:379-382 semantics) OPENED at the step '
+            'recorded in g_gan_phase.gate_opened_step after ~1800 '
+            'D-only wgan-gp steps at the reference lr 1e-5 — from then '
+            'on G takes adversarial steps (l_g_gan series). The first '
+            'compile of the adversarial G step exceeded single-chip '
+            'HBM at batch 16 (17.2 vs 15.75 GB); --accum_g 2 '
+            '(bit-equivalent virtual-batch microbatching) fits it. '
+            'Val PSNR easing off its init optimum while l_g_gan '
+            'falls is the expected perception-distortion tradeoff.'),
         'trained_eval': 'see eval_trained_step850.json (export_g -> '
                         'eval_sr chain)',
     }
@@ -58,6 +68,7 @@ def main():
         cur = json.load(f)
     cur['gan_phase_extension'] = {
         'final_step': int(d['l_d_total'][-1][0]),
+        'gate_opened_step': gate_open,
         'note': out['gan_gate_reading'],
     }
     cur['jpeg_convergence'] = 'artifacts/convergence_jpeg_r3/summary.json'
