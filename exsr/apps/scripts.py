@@ -263,6 +263,49 @@ def convert_torch_g(pth: str, out_dir: str, nb: int = 23,
     print(f'converted {pth} -> {out_dir} ({n:,} params)')
 
 
+def psnr_ssim(gt_dir: str, gen_dir: str, crop: int = 4, y_only: bool =
+              False, suffix: str = ''):
+    """Folder-vs-folder MATLAB-compatible PSNR/SSIM table
+    (metrics/calculate_PSNR_SSIM.py:12-92): match Gen images to GT by
+    basename (+optional suffix), crop borders, optionally evaluate the
+    YCbCr Y channel only. Returns (mean_psnr, mean_ssim)."""
+    from PIL import Image
+    from exsr.utils.metrics import calculate_psnr, calculate_ssim
+    from exsr.utils.color import rgb2ycbcr
+    psnrs, ssims = [], []
+    names = sorted(os.listdir(gt_dir))
+    for i, name in enumerate(names):
+        base, _ = os.path.splitext(name)
+        gen_path = None
+        for ext in ('.png', '.jpg', '.bmp'):
+            cand = os.path.join(gen_dir, base + suffix + ext)
+            if os.path.exists(cand):
+                gen_path = cand
+                break
+        if gen_path is None:
+            print(f'--- {base}: no Gen image, skipped')
+            continue
+        gt = np.asarray(Image.open(os.path.join(gt_dir, name))
+                        .convert('RGB'), np.float64) / 255.0
+        gen = np.asarray(Image.open(gen_path).convert('RGB'),
+                         np.float64) / 255.0
+        if y_only:
+            gt, gen = rgb2ycbcr(gt), rgb2ycbcr(gen)
+        if crop:
+            gt = gt[crop:-crop, crop:-crop]
+            gen = gen[crop:-crop, crop:-crop]
+        ps = calculate_psnr(gt * 255, gen * 255)
+        ss = calculate_ssim(gt * 255, gen * 255)
+        psnrs.append(ps)
+        ssims.append(ss)
+        print(f'{i + 1:3d} - {base:25s}\tPSNR: {ps:.6f} dB, '
+              f'\tSSIM: {ss:.6f}')
+    mp = float(np.mean(psnrs)) if psnrs else float('nan')
+    ms = float(np.mean(ssims)) if ssims else float('nan')
+    print(f'Average: PSNR: {mp:.6f} dB, SSIM: {ms:.6f}')
+    return mp, ms
+
+
 def export_g(train_ckpt: str, out_dir: str):
     """Extract the generator params from a train_sr/train_jpeg TRAIN-state
     checkpoint into the {'g_params'} layout consumed by eval_sr / web /
@@ -347,6 +390,12 @@ def main(argv=None):
     s.add_argument('--scale', type=int, default=4)
     s.add_argument('--nf', type=int, default=64)
     s.add_argument('--gc', type=int, default=32)
+    s = sub.add_parser('psnr_ssim')
+    s.add_argument('--gt_dir', required=True)
+    s.add_argument('--gen_dir', required=True)
+    s.add_argument('--crop_border', type=int, default=4)
+    s.add_argument('--y_only', action='store_true')
+    s.add_argument('--suffix', default='')
     s = sub.add_parser('export_g')
     s.add_argument('--train_ckpt', required=True,
                    help='train_sr/train_jpeg experiment ckpt dir')
@@ -381,6 +430,9 @@ def main(argv=None):
     elif args.cmd == 'convert_torch_g':
         convert_torch_g(args.pth, args.out, args.nb, args.latent_channels,
                         args.scale, args.nf, args.gc)
+    elif args.cmd == 'psnr_ssim':
+        psnr_ssim(args.gt_dir, args.gen_dir, args.crop_border,
+                  args.y_only, args.suffix)
     elif args.cmd == 'export_g':
         export_g(args.train_ckpt, args.out)
 

@@ -130,3 +130,28 @@ def test_export_g_bridges_train_state_to_eval_layout(tmp_path):
         np.asarray(restored['g_params']['conv']['kernel']),
         np.arange(12.0).reshape(3, 4))
     assert set(restored) == {'g_params'}
+
+
+def test_psnr_ssim_folder_table(tmp_path):
+    """psnr_ssim subcommand: MATLAB-compatible folder-vs-folder table
+    (metrics/calculate_PSNR_SSIM.py:12-92) — Y-only + border crop, Gen
+    matched by basename with optional suffix."""
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    gt_dir, gen_dir = tmp_path / 'gt', tmp_path / 'gen'
+    gt_dir.mkdir()
+    gen_dir.mkdir()
+    for i in range(2):
+        img = (rng.uniform(size=(32, 32, 3)) * 255).astype('uint8')
+        noisy = np.clip(img.astype(int)
+                        + rng.integers(-8, 8, img.shape), 0,
+                        255).astype('uint8')
+        Image.fromarray(img).save(gt_dir / f'im{i}.png')
+        Image.fromarray(noisy).save(gen_dir / f'im{i}_x4.png')
+    from exsr.apps.scripts import psnr_ssim
+    mp, ms = psnr_ssim(str(gt_dir), str(gen_dir), crop=4, y_only=True,
+                       suffix='_x4')
+    assert 20 < mp < 50 and 0 < ms <= 1
+    # RGB mode, no crop, exact match -> infinite PSNR, SSIM 1
+    mp2, ms2 = psnr_ssim(str(gt_dir), str(gt_dir), crop=0)
+    assert np.isinf(mp2) and ms2 > 0.999
