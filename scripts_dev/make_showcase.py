@@ -28,11 +28,15 @@ def save(path, img01):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('--g_ckpt', required=True,
-                   help="exported {'g_params'} checkpoint dir")
+    p.add_argument('--g_ckpt',
+                   help="exported {'g_params'} checkpoint dir "
+                        '(omit for random params: CPU smoke mode)')
     p.add_argument('--out', default=os.path.join(ROOT,
                                                  'artifacts/showcase_r3'))
     p.add_argument('--iters', type=int, default=60)
+    p.add_argument('--nb', type=int, default=23)
+    p.add_argument('--size', type=int, default=276,
+                   help='square HR crop of the input image')
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -40,11 +44,15 @@ def main():
     from exsr.train.checkpoints import CheckpointManager
     from exsr.ops.resize import imresize
 
-    s = EditSession(scale=4, time_budget_s=120.0)
-    s.load_params(CheckpointManager(
-        os.path.abspath(args.g_ckpt)).restore_raw()['g_params'])
+    s = EditSession(scale=4, nb=args.nb, time_budget_s=120.0)
+    if args.g_ckpt:
+        s.load_params(CheckpointManager(
+            os.path.abspath(args.g_ckpt)).restore_raw()['g_params'])
+    else:
+        s.init_random_params(0)
 
-    hr = np.asarray(Image.open(FACE).convert('RGB'))[:276, :276] / 255.0
+    n = args.size
+    hr = np.asarray(Image.open(FACE).convert('RGB'))[:n, :n] / 255.0
     s.open_image(hr.astype(np.float32), is_hr=True)
     H, W = s.region_mask_hr.shape
     panels = {}
