@@ -66,6 +66,9 @@ def main(argv=None):
                    help='Z samples for the diversity sweep')
     p.add_argument('--out_dir', default='results')
     p.add_argument('--save_images', action='store_true')
+    p.add_argument('--save_std_map', action='store_true',
+                   help='with --save_images and num_z>1, also save the '
+                        'normalized per-pixel diversity heatmap')
     p.add_argument('--max_images', type=int, default=None)
     p.add_argument('--z_sweep_gif', type=int, default=0, metavar='N',
                    help='export an N-frame GIF sweeping one Z channel '
@@ -186,6 +189,14 @@ def main(argv=None):
             from PIL import Image
             Image.fromarray(sr0).save(
                 os.path.join(args.out_dir, f'{name}_SR.png'))
+            if args.num_z > 1 and args.save_std_map:
+                # normalized per-pixel diversity heatmap across the
+                # sampled Zs (visual counterpart of per_pixel_std)
+                sm = stack.std(axis=0).mean(-1)
+                sm = sm / max(float(sm.max()), 1e-12)
+                Image.fromarray(
+                    (sm * 255).round().astype('uint8')).save(
+                    os.path.join(args.out_dir, f'{name}_STDmap.png'))
         if args.z_sweep_gif > 1:
             # sweep channel 0 of Z from -1 to 1 (test.py:289-319)
             from PIL import Image

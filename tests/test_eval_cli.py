@@ -26,7 +26,8 @@ def test_eval_sr_cli(img_dir, tmp_path):
     from exsr.apps import eval_sr
     out = str(tmp_path / 'out')
     eval_sr.main(['--hr_dir', img_dir, '--scale', '4', '--nb', '1',
-                  '--num_z', '3', '--out_dir', out, '--save_images'])
+                  '--num_z', '3', '--out_dir', out, '--save_images',
+                  '--save_std_map'])
     summary = json.load(open(os.path.join(out, 'summary.json')))['summary']
     assert summary['num_images'] == 2
     assert np.isfinite(summary['avg_psnr'])
@@ -35,6 +36,9 @@ def test_eval_sr_cli(img_dir, tmp_path):
     assert summary['avg_consistency_mae'] < 1e-3
     assert summary['avg_per_pixel_std'] >= 0
     assert os.path.exists(os.path.join(out, 'im0_SR.png'))
+    # per-pixel diversity heatmap (normalized std across the Z samples)
+    sm = np.asarray(Image.open(os.path.join(out, 'im0_STDmap.png')))
+    assert sm.shape == (192, 192) and sm.max() == 255
 
 
 def test_eval_jpeg_cli(img_dir, tmp_path):
