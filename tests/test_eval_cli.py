@@ -68,6 +68,9 @@ def test_eval_sr_reference_opt(img_dir, tmp_path):
     p.write_text(_json.dumps(opt))
     from exsr.apps import eval_sr
     out = str(tmp_path / 'o')
-    eval_sr.main(['--opt', str(p), '--out_dir', out, '--max_images', '1'])
+    eval_sr.main(['--opt', str(p), '--out_dir', out, '--max_images', '1',
+                  '--z_sweep_gif', '2'])
     summary = _json.load(open(os.path.join(out, 'summary.json')))['summary']
     assert summary['num_images'] == 1
+    # Z-channel sweep exported as an animated GIF (test.py:289-319)
+    assert os.path.exists(os.path.join(out, 'im0_Zsweep.gif'))
