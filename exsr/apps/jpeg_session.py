@@ -409,6 +409,20 @@ class JPEGEditSession:
             loss = obj.std_objective(helpers, name, desired_std)
         elif 'TV' in name:
             loss = obj.tv_objective(helpers, initial_std)
+        elif name == 'digit':
+            # SVHN digit exploration — in the reference this tool is wired
+            # in the JPEG GUI (SVHN classifier loaded only when JPEG_GUI,
+            # GUI.py:1332,1393-1397; objective Z_optimization.py:551-601).
+            # The Y-only output is replicated to the classifier's 3
+            # channels inside digit_objective's resize.
+            classifier = data['classifier_apply']
+            ys, xs = np.nonzero(mask > 0)
+            bounds = (int(ys.min()), int(xs.min()), int(ys.max()),
+                      int(xs.max()))
+            loss = obj.digit_objective(
+                classifier, bounds, int(data['digit_2_resemble']),
+                multiview=tuple(data.get('multiview_classification',
+                                         (1, 3))))
         else:
             raise NotImplementedError(objective)
 

@@ -266,12 +266,10 @@ class SessionApi:
             max_iters=int(req.get('optimize_iters', 25)))
         return {'final_loss': out['final_loss'], 'rounds': out['rounds']}
 
-    def digit(self, req):
-        """SVHN digit exploration (GUI.py:1517-1547): optimize Z so the
-        selected region classifies as the requested digit."""
-        # cache keyed by the weights path — a later request with real
-        # weights must not silently reuse a random-init classifier
-        wkey = req.get('weights') or ''
+    def _get_svhn_apply(self, wkey: str):
+        """SVHN classifier apply-fn, cached keyed by the weights path — a
+        later request with real weights must not silently reuse a
+        random-init classifier."""
         if getattr(self, '_svhn_key', None) != wkey:
             import jax
             import jax.numpy as jnp
@@ -285,9 +283,15 @@ class SessionApi:
                                      jnp.zeros((1, 54, 54, 3)))
             self._svhn_apply = lambda x: clf.apply(variables, x)
             self._svhn_key = wkey
+        return self._svhn_apply
+
+    def digit(self, req):
+        """SVHN digit exploration (GUI.py:1517-1547): optimize Z so the
+        selected region classifies as the requested digit."""
+        apply_fn = self._get_svhn_apply(req.get('weights') or '')
         out = self.session.optimize(
             'digit',
-            data={'classifier_apply': self._svhn_apply,
+            data={'classifier_apply': apply_fn,
                   'digit_2_resemble': int(req.get('digit', 0)),
                   'multiview_classification':
                       tuple(req.get('multiview', (1, 3)))},
@@ -454,8 +458,19 @@ class JpegSessionApi(SessionApi):
                          'the Y channel)'}
 
     def digit(self, req):
-        return {'error': "the JPEG session's objective set has no digit "
-                         'objective (l1/STD/TV)'}
+        """SVHN digit exploration on the decoded Y channel — the tool's
+        home configuration in the reference, where the classifier is
+        loaded only for the JPEG GUI (GUI.py:1332,1393-1397,1517-1547)."""
+        apply_fn = self._get_svhn_apply(req.get('weights') or '')
+        out = self.session.optimize(
+            'digit',
+            data={'classifier_apply': apply_fn,
+                  'digit_2_resemble': int(req.get('digit', 0)),
+                  'multiview_classification':
+                      tuple(req.get('multiview', (1, 3)))},
+            max_iters=int(req.get('max_iters', 25)))
+        losses = [float(v) for v in np.asarray(out['losses']).ravel()]
+        return {'final_loss': losses[-1] if losses else None}
 
     def state(self, req):
         s = self.session
@@ -584,7 +599,6 @@ const cv = document.getElementById('cv'), ctx = cv.getContext('2d');
   document.getElementById('kernelrow').style.display = 'none';
   document.getElementById('scribblerow').style.display = 'none';
   document.getElementById('hsvrow').style.display = 'none';
-  document.getElementById('digitrow').style.display = 'none';
   document.getElementById('impauto').parentElement.style.display = 'none';
   document.querySelector('h3').textContent =
    'exsr — explorable JPEG decoding (QF ' + st.qf + ')';

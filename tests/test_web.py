@@ -251,9 +251,13 @@ def test_jpeg_imprint_and_tool_errors(jpeg_server):
     assert out['position'] == [8, 8]
     assert np.isfinite(out['final_loss'])
     assert 'error' in _post(jpeg_server, 'hsv', {})
-    assert 'error' in _post(jpeg_server, 'digit', {})
     assert 'error' in _post(jpeg_server, 'find_imprint_location',
                             {'image': _png_b64(imprint)})
+    # digit is a JPEG-mode tool in the reference (SVHN classifier loaded
+    # only when JPEG_GUI, GUI.py:1332): optimize the region toward a digit
+    _post(jpeg_server, 'region', {'rect': [8, 8, 40, 40]})
+    d = _post(jpeg_server, 'digit', {'digit': 3, 'max_iters': 2})
+    assert np.isfinite(d['final_loss'])
 
 
 def test_page_script_consistency():
