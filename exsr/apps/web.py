@@ -460,17 +460,53 @@ class JpegSessionApi(SessionApi):
     def digit(self, req):
         """SVHN digit exploration on the decoded Y channel — the tool's
         home configuration in the reference, where the classifier is
-        loaded only for the JPEG GUI (GUI.py:1332,1393-1397,1517-1547)."""
+        loaded only for the JPEG GUI (GUI.py:1332,1393-1397,1517-1547).
+
+        ``auto: true`` runs the reference's default Auto_Explore_Digits
+        flow (GUI.py:1517-1539): optimize toward each digit 0-9, score
+        each result with the classifier, keep only single-digit decodings,
+        and leave the session displaying the most likely one.
+        """
         apply_fn = self._get_svhn_apply(req.get('weights') or '')
-        out = self.session.optimize(
-            'digit',
-            data={'classifier_apply': apply_fn,
-                  'digit_2_resemble': int(req.get('digit', 0)),
-                  'multiview_classification':
-                      tuple(req.get('multiview', (1, 3)))},
-            max_iters=int(req.get('max_iters', 25)))
-        losses = [float(v) for v in np.asarray(out['losses']).ravel()]
-        return {'final_loss': losses[-1] if losses else None}
+        s = self.session
+        mv = tuple(req.get('multiview', (1, 3)))
+        iters = int(req.get('max_iters', 25))
+        if not req.get('auto'):
+            out = s.optimize(
+                'digit',
+                data={'classifier_apply': apply_fn,
+                      'digit_2_resemble': int(req.get('digit', 0)),
+                      'multiview_classification': mv},
+                max_iters=iters)
+            losses = [float(v) for v in np.asarray(out['losses']).ravel()]
+            return {'final_loss': losses[-1] if losses else None}
+        from exsr.zopt import objectives as obj
+        mask = s.region_mask
+        ys, xs = np.nonzero(mask > 0)
+        bounds = (int(ys.min()), int(xs.min()), int(ys.max()),
+                  int(xs.max()))
+        transform = obj.digit_views_transform(bounds, mv)
+        per = {}
+        best_d, best_p = None, -1.0
+        for d in range(10):
+            s.optimize('digit',
+                       data={'classifier_apply': apply_fn,
+                             'digit_2_resemble': d,
+                             'multiview_classification': mv},
+                       max_iters=iters)
+            num, prob = obj.digit_score(apply_fn, transform, s.out, d)
+            if num == 1:  # keep only single-digit decodings (GUI.py:1526)
+                per[d] = {'z': s.cur_z.copy(), 'prob': prob}
+                if prob > best_p:
+                    best_d, best_p = d, prob
+            s.undo()
+        if best_d is not None:
+            s._push()
+            s.cur_z = per[best_d]['z']
+            s.recompute()
+        return {'per_digit_prob': {d: v['prob'] for d, v in per.items()},
+                'most_likely': best_d,
+                'prob': best_p if best_d is not None else None}
 
     def state(self, req):
         s = self.session
@@ -570,7 +606,9 @@ PAGE = """<!DOCTYPE html>
    <button onclick="hsvEdit()">apply HSV</button></div>
   <div class="row" id="digitrow">digit
    <input id="digitn" value="3" size="2">
-   <button onclick="digitEdit()">resemble digit</button></div>
+   <button onclick="digitEdit()">resemble digit</button>
+   <button onclick="digitAuto()" id="digitauto" style="display:none">
+    auto explore</button></div>
   <div class="row">
    <button onclick="api('undo',{}).then(refresh)">undo</button>
    <button onclick="api('redo',{}).then(refresh)">redo</button>
@@ -600,6 +638,7 @@ const cv = document.getElementById('cv'), ctx = cv.getContext('2d');
   document.getElementById('scribblerow').style.display = 'none';
   document.getElementById('hsvrow').style.display = 'none';
   document.getElementById('impauto').parentElement.style.display = 'none';
+  document.getElementById('digitauto').style.display = '';
   document.querySelector('h3').textContent =
    'exsr — explorable JPEG decoding (QF ' + st.qf + ')';
  }
@@ -743,6 +782,14 @@ async function digitEdit() {
    time_budget_s: parseFloat(document.getElementById('budget').value)});
  if (j.final_loss !== undefined)
   log('digit done: loss ' + (j.final_loss || 0).toFixed(5));
+ refresh();
+}
+async function digitAuto() {
+ log('auto-exploring digits 0-9...');
+ const j = await api('digit', {auto: true});
+ if (j.most_likely !== undefined)
+  log('most likely digit: ' + j.most_likely +
+      (j.prob ? ' (p=' + j.prob.toFixed(3) + ')' : ''));
  refresh();
 }
 cv.onmousedown = (e) => {

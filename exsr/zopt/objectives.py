@@ -319,19 +319,14 @@ def desired_svd_objective(reference_min: jnp.ndarray,
     return loss_fn
 
 
-def digit_objective(classifier_apply: Callable, mask_bounds: tuple,
-                    digit: int, multiview: tuple[int, int] = (1, 3),
-                    classifier_size: int = 54):
-    """'digit': make the masked region classify as a given SVHN digit
-    (Z_optimization.py:551-601): crop to the mask bounds, build multiple
-    zoom/translation views resized to the classifier input, minimize
-    cross-entropy of (digit, length==1) over the views.
-
-    ``classifier_apply(x) -> (length_logits, d1, d2, d3, d4, d5)`` with x
-    in [-1, 1].  View geometry is fixed per edit (host-side), so the whole
-    objective stays static-shape.
-    """
-    import optax
+def digit_views_transform(mask_bounds: tuple,
+                          multiview: tuple[int, int] = (1, 3),
+                          classifier_size: int = 54) -> Callable:
+    """Multi-view crop/zoom/translate transform feeding the SVHN
+    classifier (Z_optimization.py:551-601): crop to the mask bounds,
+    build zoom/translation views resized to the classifier input,
+    normalized to [-1, 1].  View geometry is fixed per edit (host-side),
+    so the result stays static-shape."""
     y0, x0, y1, x1 = mask_bounds
     ch, cw = y1 - y0 + 1, x1 - x0 + 1
     n_zoom, n_trans = multiview
@@ -365,6 +360,35 @@ def digit_objective(classifier_apply: Callable, mask_bounds: tuple,
                         mode='edge')
             stacked.append(v)
         return (jnp.concatenate(stacked, 0) - 0.5) / 0.5
+    return transform
+
+
+def digit_score(classifier_apply: Callable, transform: Callable,
+                out, digit: int) -> tuple[float, float]:
+    """Post-optimization digit reading (Z_optimization.py:782-786):
+    returns ``(num_digits, prob)`` — the argmax of the mean length-head
+    logits and the mean softmax probability of ``digit`` over the views.
+    """
+    heads = classifier_apply(transform(jnp.asarray(out)))
+    length_logits, d1 = heads[0], heads[1]
+    num = int(jnp.argmax(length_logits.mean(0)))
+    prob = float(jax.nn.softmax(d1, axis=-1)[:, digit].mean())
+    return num, prob
+
+
+def digit_objective(classifier_apply: Callable, mask_bounds: tuple,
+                    digit: int, multiview: tuple[int, int] = (1, 3),
+                    classifier_size: int = 54):
+    """'digit': make the masked region classify as a given SVHN digit
+    (Z_optimization.py:551-601): minimize cross-entropy of
+    (digit, length==1) over the views of ``digit_views_transform``.
+
+    ``classifier_apply(x) -> (length_logits, d1, d2, d3, d4, d5)`` with x
+    in [-1, 1].
+    """
+    import optax
+    transform = digit_views_transform(mask_bounds, multiview,
+                                      classifier_size)
 
     def loss_fn(out, z):
         heads = classifier_apply(transform(out))

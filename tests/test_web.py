@@ -258,6 +258,13 @@ def test_jpeg_imprint_and_tool_errors(jpeg_server):
     _post(jpeg_server, 'region', {'rect': [8, 8, 40, 40]})
     d = _post(jpeg_server, 'digit', {'digit': 3, 'max_iters': 2})
     assert np.isfinite(d['final_loss'])
+    # Auto_Explore_Digits (GUI.py:1517-1539): per-digit probe, session
+    # left on the most likely single-digit decoding (if any survives the
+    # length==1 filter — random classifier weights may reject all)
+    a = _post(jpeg_server, 'digit', {'auto': True, 'max_iters': 1})
+    assert 'most_likely' in a and 'per_digit_prob' in a
+    if a['most_likely'] is not None:
+        assert 0 <= a['most_likely'] <= 9 and 0.0 <= a['prob'] <= 1.0
 
 
 def test_page_script_consistency():
