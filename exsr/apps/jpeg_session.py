@@ -397,7 +397,17 @@ class JPEGEditSession:
         helpers = obj.STDHelpers.create(mask, local='local' in objective)
         initial_std = helpers(jnp.asarray(initial_out))
         name = objective.replace('local_', '')
-        if 'l1' in name:
+        if 'scribble' in name:
+            # the reference's scribble canvas also drives the JPEG GUI
+            # (the block-smeared selection mask in
+            # update_HR_mask_display_size exists for it, GUI.py:475-480);
+            # strokes edit the decoded Y channel, brightness classes
+            # scale Y directly (Y is the value channel here), TV-region
+            # ids >3 get local-TV smoothing (Z_optimization.py:409-444)
+            desired, l1_mask, tv_masks = self._scribble_targets_y(
+                data, mask, initial_out)
+            loss = obj.scribble(desired, l1_mask, tv_masks)
+        elif 'l1' in name:
             loss = obj.l1_to_desired(jnp.asarray(data['desired']),
                                      jnp.asarray(mask))
         elif name in ('max_STD', 'min_STD', 'STD_increase', 'STD_decrease'):
@@ -437,3 +447,40 @@ class JPEGEditSession:
         self.cur_z = np.asarray(z)
         self.recompute()
         return {'out': self.out, 'losses': losses}
+
+    def _scribble_targets_y(self, data, mask, initial_out):
+        """Y-channel desired image + masks for scribble/brightness edits —
+        the SR flow (Z_optimization.py:409-423) with the HSV value-scaling
+        collapsed onto Y itself (Y *is* the value channel of the Y-only
+        decoded output)."""
+        from scipy.signal import convolve2d
+        scribble_mask = np.asarray(data['scribble_mask'])
+        desired = np.asarray(data['desired'], np.float32)
+        if desired.ndim == 3 and desired.shape[-1] == 3:
+            # RGB strokes -> luma; match the session's open convention
+            # (full-range JFIF Y for real-file opens, MATLAB studio-swing
+            # for recompressed-RGB opens)
+            if getattr(self, '_ycbcr_full_range', False):
+                desired = desired @ np.array([0.299, 0.587, 0.114],
+                                             np.float32)
+            else:
+                desired = rgb2ycbcr(desired, only_y=True)
+        desired = np.asarray(desired, np.float32).squeeze()[None, ..., None]
+        brightness = float(data.get('brightness_factor', 0.0))
+        mult = np.ones_like(scribble_mask, np.float32)
+        mult += brightness * (scribble_mask == 2).astype(np.float32)
+        mult -= brightness * (scribble_mask == 3).astype(np.float32)
+        k = np.ones((3, 3)) / 9.0
+        mult = convolve2d(np.pad(mult, 1, mode='edge'), k, 'valid')
+        if brightness:
+            cur = np.clip(initial_out[0, :, :, 0], 0, 1)
+            sel = (scribble_mask == 2) | (scribble_mask == 3)
+            desired[0, :, :, 0] = np.where(
+                sel, np.clip(cur * mult, 0, 1), desired[0, :, :, 0])
+        l1_mask = jnp.asarray(
+            (mask * ((scribble_mask > 0) & (scribble_mask < 4)))
+            .astype(np.float32))
+        tv_ids = [i for i in np.unique(scribble_mask * mask) if i > 3]
+        tv_masks = [jnp.asarray((mask * (scribble_mask == i))
+                                .astype(np.float32)) for i in tv_ids]
+        return jnp.asarray(desired), l1_mask, tv_masks

@@ -388,9 +388,23 @@ class JpegSessionApi(SessionApi):
     def optimize(self, req):
         from exsr.utils.color import rgb2ycbcr
         data = dict(req.get('data') or {})
+        if isinstance(data.get('scribble_mask'), str):
+            data['scribble_mask'] = _decode_scribble_mask(
+                data['scribble_mask'])
         if isinstance(data.get('desired'), str):
             rgb = _decode_image(data['desired'])
-            data['desired'] = rgb2ycbcr(rgb, only_y=True)[None, ..., None]
+            if 'scribble' in req['objective']:
+                # raw RGB — the session converts with its own open-time
+                # Y convention (full-range vs studio-swing)
+                data['desired'] = rgb
+            elif getattr(self.session, '_ycbcr_full_range', False):
+                # real-file opens decode with full-range JFIF Y; the
+                # studio-swing conversion would bias the l1 target
+                data['desired'] = (rgb @ np.array(
+                    [0.299, 0.587, 0.114], np.float32))[None, ..., None]
+            else:
+                data['desired'] = rgb2ycbcr(
+                    rgb, only_y=True)[None, ..., None]
         if 'desired' not in data and 'l1' in req['objective']:
             data['desired'] = self.session.out
         out = self.session.optimize(req['objective'], data=data,
@@ -454,8 +468,32 @@ class JpegSessionApi(SessionApi):
                          'find_optimal_imprint_mask instead'}
 
     def hsv(self, req):
-        return {'error': 'HSV editing is SR-only (the JPEG session edits '
-                         'the Y channel)'}
+        """HSV manipulation — wired for the JPEG GUI in the reference too
+        (Manipulate_HSV writes through the block-smeared mask built in
+        update_HR_mask_display_size, GUI.py:475-480,1552-1585). The
+        decoded output is Y-only, so only the value channel is realizable
+        by the latent; hue/sat are reported as not applicable instead of
+        silently dropped."""
+        s = self.session
+        if s.out is None:
+            return {'error': 'no image open'}
+        val = float(req.get('val', 1.0))
+        note = None
+        if float(req.get('hue_shift', 0.0)) or \
+                float(req.get('sat', 1.0)) != 1.0:
+            note = ('hue/sat have no effect: the JPEG latent controls '
+                    'the Y channel only (chroma comes from the chroma '
+                    'decoder)')
+        cur = np.clip(s.out[0, :, :, 0], 0, 1)
+        m = s.region_mask
+        desired = m * np.clip(cur * val, 0, 1) + (1 - m) * cur
+        out = s.optimize('l1', data={'desired': desired[None, ..., None]},
+                         max_iters=int(req.get('optimize_iters', 25)))
+        losses = [float(v) for v in np.asarray(out['losses']).ravel()]
+        resp = {'final_loss': losses[-1] if losses else None}
+        if note:
+            resp['note'] = note
+        return resp
 
     def digit(self, req):
         """SVHN digit exploration on the decoded Y channel — the tool's
@@ -635,8 +673,6 @@ const cv = document.getElementById('cv'), ctx = cv.getContext('2d');
    '<option>z</option>';
   document.getElementById('svdrow').style.display = 'none';
   document.getElementById('kernelrow').style.display = 'none';
-  document.getElementById('scribblerow').style.display = 'none';
-  document.getElementById('hsvrow').style.display = 'none';
   document.getElementById('impauto').parentElement.style.display = 'none';
   document.getElementById('digitauto').style.display = '';
   document.querySelector('h3').textContent =

@@ -250,7 +250,14 @@ def test_jpeg_imprint_and_tool_errors(jpeg_server):
                  'size': [16, 16], 'optimize_iters': 3})
     assert out['position'] == [8, 8]
     assert np.isfinite(out['final_loss'])
-    assert 'error' in _post(jpeg_server, 'hsv', {})
+    # HSV: value channel realizable on the Y-only latent; hue/sat edits
+    # get an explanatory note (Manipulate_HSV is JPEG-wired in the
+    # reference, GUI.py:475-480,1552-1585)
+    h = _post(jpeg_server, 'hsv', {'val': 0.8, 'optimize_iters': 2})
+    assert np.isfinite(h['final_loss']) and 'note' not in h
+    h2 = _post(jpeg_server, 'hsv', {'hue_shift': 30.0,
+                                    'optimize_iters': 1})
+    assert 'note' in h2
     assert 'error' in _post(jpeg_server, 'find_imprint_location',
                             {'image': _png_b64(imprint)})
     # digit is a JPEG-mode tool in the reference (SVHN classifier loaded
@@ -265,6 +272,28 @@ def test_jpeg_imprint_and_tool_errors(jpeg_server):
     assert 'most_likely' in a and 'per_digit_prob' in a
     if a['most_likely'] is not None:
         assert 0 <= a['most_likely'] <= 9 and 0.0 <= a['prob'] <= 1.0
+
+    # scribble also drives the JPEG GUI in the reference (the
+    # block-smeared selection mask exists for it, GUI.py:475-480):
+    # authored color/darken strokes + a TV region inside the Y region
+    from PIL import Image
+    view = np.asarray(Image.open(io.BytesIO(base64.b64decode(
+        _post(jpeg_server, 'view', {'which': 'out'})['png'])))) / 255.0
+    if view.ndim == 2:
+        view = np.repeat(view[..., None], 3, -1)
+    desired = view[..., :3].copy()
+    desired[10:18, 10:30] = [1.0, 1.0, 1.0]      # white stroke
+    smask = np.zeros(view.shape[:2], np.uint8)
+    smask[10:18, 10:30] = 1                      # class 1 = color
+    smask[20:26, 10:30] = 3                      # class 3 = darken
+    smask[28:36, 10:30] = 5                      # TV region id
+    mask_rgb = np.repeat(smask[..., None], 3, -1) * 16 / 255.0
+    out = _post(jpeg_server, 'optimize', {
+        'objective': 'scribble', 'max_iters': 3,
+        'data': {'desired': _png_b64(desired),
+                 'scribble_mask': _png_b64(mask_rgb),
+                 'brightness_factor': 0.3}})
+    assert np.isfinite(out['final_loss'])
 
 
 def test_page_script_consistency():
