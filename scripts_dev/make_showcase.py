@@ -13,11 +13,14 @@ Usage:
 """
 import argparse
 import os
+import sys
 
 import numpy as np
 from PIL import Image
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:          # runnable from any cwd
+    sys.path.insert(0, ROOT)
 FACE = '/root/reference/Samples/face_GT_HR.png'
 
 
