@@ -223,6 +223,38 @@ class EditSession:
                                        jnp.asarray(self.cur_z)))
         return self.sr
 
+    # ----------------------------------------------- alternatives (random)
+    def _alternative_z(self, i: int) -> np.ndarray:
+        alt = getattr(self, '_alternatives', None)
+        assert alt is not None and 0 <= i < len(alt['zs']), \
+            'no retained alternatives — run optimize with n_alternatives>1'
+        z = self.cur_z.copy()
+        ys, xs = alt['hr_slice']
+        z[:, ys, xs] = alt['zs'][i:i + 1]
+        return z
+
+    def alternative_sr(self, i: int) -> np.ndarray:
+        """SR output of retained random alternative ``i`` (the reference
+        displays the alternative outputs alongside the default for
+        browsing, GUI.py:1740-1800)."""
+        return np.asarray(self._fwd(self.eff_params,
+                                    jnp.asarray(self.lr_image),
+                                    jnp.asarray(self._alternative_z(i))))
+
+    def copy_alternative(self, i: int):
+        """CopyAlternative2Default (GUI.py:1420): adopt alternative
+        ``i``'s Z inside the selected region, keep cur_Z outside."""
+        alt_z = self._alternative_z(i)
+        self._push_history()
+        m = self.region_mask_hr[None, :, :, None].astype(np.float32)
+        self.cur_z = alt_z * m + self.cur_z * (1 - m)
+        self.recompute()
+        return self.sr
+
+    def invert_region(self):
+        """Invert_Z_Mask (GUI.py:1424): flip the selected region."""
+        self.set_region(1.0 - self.region_mask_hr)
+
     # ---------------------------------------------------------------- state
     def _push_history(self):
         self._history.append(self.cur_z.copy())
@@ -462,12 +494,19 @@ class EditSession:
                    if z_mask is not None else best_theta)
             best_z = self.z_range * jnp.tanh(eff)
         z_opt = np.asarray(best_z)[:1]
+        if b > 1:
+            # retain the optimized alternatives for browsing and
+            # CopyAlternative2Default (the reference keeps random_Zs
+            # alongside cur_Z, GUI.py:1420,1740-1800)
+            self._alternatives = {'zs': np.asarray(best_z)[1:],
+                                  'hr_slice': hr_slice}
         new_z = self.cur_z.copy()
         new_z[:, hr_slice[0], hr_slice[1]] = z_opt
         self.cur_z = new_z
         self.recompute()
         return {'sr': self.sr, 'losses': losses_hist,
-                'final_loss': best_loss, 'rounds': rounds}
+                'final_loss': best_loss, 'rounds': rounds,
+                'n_alternatives': b - 1 if b > 1 else 0}
 
     def _z_mask(self, mask_hr, z_shape):
         if mask_hr.min() >= 1.0:

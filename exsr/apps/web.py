@@ -112,6 +112,23 @@ class SessionApi:
         self.session.clear_region()
         return {'ok': True}
 
+    def invert_region(self, req):
+        """Invert_Z_Mask (GUI.py:1424)."""
+        self.session.invert_region()
+        return {'ok': True,
+                'selected_px': int(self.session.region_mask_hr.sum())}
+
+    def alternative(self, req):
+        """Browse or adopt a retained random alternative
+        (GUI.py:1420,1740-1800): ``index`` selects it, ``copy: true``
+        runs CopyAlternative2Default (Z adopted inside the region)."""
+        i = int(req.get('index', 0))
+        if req.get('copy'):
+            self.session.copy_alternative(i)
+            return {'ok': True}
+        img = self.session.alternative_sr(i)
+        return {'png': base64.b64encode(_png_bytes(img[0])).decode()}
+
     def optimize(self, req):
         data = dict(req.get('data') or {})
         if isinstance(data.get('desired'), str):
@@ -128,7 +145,8 @@ class SessionApi:
             n_alternatives=int(req.get('n_alternatives',
                                        self.alternatives)))
         return {'final_loss': out['final_loss'], 'rounds': out['rounds'],
-                'losses': out['losses'][-10:]}
+                'losses': out['losses'][-10:],
+                'n_alternatives': out.get('n_alternatives', 0)}
 
     def uniform_z(self, req):
         self.session.set_uniform_z(req['values'])
@@ -385,6 +403,17 @@ class JpegSessionApi(SessionApi):
         s.set_region(np.ones(s.region_mask.shape, np.float32))
         return {'ok': True}
 
+    def invert_region(self, req):
+        """Invert_Z_Mask (GUI.py:1424) — stays 8x8-block aligned."""
+        s = self.session
+        s.set_region(1.0 - s.region_mask)
+        return {'ok': True, 'selected_px': int(s.region_mask.sum())}
+
+    def alternative(self, req):
+        return {'error': "random-alternative browsing is SR-only (the "
+                         "JPEG session's objective set has no random "
+                         'diversity objective)'}
+
     def optimize(self, req):
         from exsr.utils.color import rgb2ycbcr
         data = dict(req.get('data') or {})
@@ -599,6 +628,7 @@ PAGE = """<!DOCTYPE html>
    <button onclick="refresh()">refresh</button>
    <label><input type="checkbox" id="selmode" checked>select region</label>
    <button onclick="api('clear_region',{})">clear region</button>
+   <button onclick="api('invert_region',{}).then(refresh)">invert</button>
   </div>
  </div>
  <div style="max-width:430px">
@@ -610,6 +640,12 @@ PAGE = """<!DOCTYPE html>
    <button onclick="optimize('min_STD')">decrease variance</button>
    <button onclick="optimize('random_l1')">random alternative</button>
   </div>
+  <div class="row" id="altrow">alts
+   <input id="nalts" value="3" size="2">
+   <button onclick="optimizeAlts()">random alternatives</button>
+   <button onclick="altView(-1)">&lt;</button>
+   <button onclick="altView(1)">&gt;</button>
+   <button onclick="altCopy()">adopt</button></div>
   <div class="row">budget s <input id="budget" value="8" size="3">
    objective <input id="obj" value="l1" size="12">
    <button onclick="optimize(document.getElementById('obj').value)">run
@@ -673,6 +709,7 @@ const cv = document.getElementById('cv'), ctx = cv.getContext('2d');
    '<option>z</option>';
   document.getElementById('svdrow').style.display = 'none';
   document.getElementById('kernelrow').style.display = 'none';
+  document.getElementById('altrow').style.display = 'none';
   document.getElementById('impauto').parentElement.style.display = 'none';
   document.getElementById('digitauto').style.display = '';
   document.querySelector('h3').textContent =
@@ -864,6 +901,34 @@ async function optimize(objective) {
  log('done: loss ' + (j.final_loss || 0).toFixed(5) + ' after '
      + j.rounds + ' rounds');
  refresh();
+}
+// ---- random-alternative browsing (random_Zs flow, GUI.py:1420,1740) ----
+let altIdx = 0, altCount = 0;
+async function optimizeAlts() {
+ const n = parseInt(document.getElementById('nalts').value) || 3;
+ log('optimizing ' + n + ' random alternatives...');
+ const j = await api('optimize', {objective: 'random_l1',
+   n_alternatives: n + 1,
+   time_budget_s: parseFloat(document.getElementById('budget').value)});
+ altCount = j.n_alternatives || 0; altIdx = 0;
+ log('done: ' + altCount + ' alternatives retained');
+ refresh();
+}
+async function altView(d) {
+ if (!altCount) { log('no alternatives - run random alternatives first');
+  return; }
+ altIdx = ((altIdx + d) % altCount + altCount) % altCount;
+ const j = await api('alternative', {index: altIdx});
+ if (!j.png) return;
+ const im = new Image();
+ im.onload = () => { ctx.drawImage(im, 0, 0); };
+ im.src = 'data:image/png;base64,' + j.png;
+ log('alternative ' + (altIdx + 1) + '/' + altCount);
+}
+async function altCopy() {
+ if (!altCount) return;
+ await api('alternative', {index: altIdx, copy: true});
+ log('adopted alternative ' + (altIdx + 1)); refresh();
 }
 async function svd() {
  await api('svd', {lambda0: parseFloat(document.getElementById('l0').value),

@@ -296,6 +296,37 @@ def test_jpeg_imprint_and_tool_errors(jpeg_server):
     assert np.isfinite(out['final_loss'])
 
 
+def test_alternatives_and_invert_region(server):
+    """Random-alternative retention + CopyAlternative2Default + region
+    inversion (GUI.py:1420,1424,1740-1800)."""
+    rng = np.random.default_rng(7)
+    img = rng.uniform(size=(96, 96, 3)).astype(np.float32)
+    _post(server, 'open', {'image': _png_b64(img), 'is_hr': True})
+    r = _post(server, 'region', {'rect': [16, 16, 80, 80]})
+    assert r['selected_px'] == 64 * 64
+    inv = _post(server, 'invert_region', {})
+    assert inv['selected_px'] == 96 * 96 - 64 * 64
+    _post(server, 'invert_region', {})   # back to the original selection
+
+    out = _post(server, 'optimize', {'objective': 'random_l1',
+                                     'n_alternatives': 3, 'max_iters': 4})
+    assert out['n_alternatives'] == 2
+    from PIL import Image
+    before = np.asarray(Image.open(io.BytesIO(base64.b64decode(
+        _post(server, 'view', {'which': 'sr'})['png'])))).astype(float)
+    alt = _post(server, 'alternative', {'index': 1})
+    assert 'png' in alt
+    assert _post(server, 'alternative', {'index': 1, 'copy': True})['ok']
+    after = np.asarray(Image.open(io.BytesIO(base64.b64decode(
+        _post(server, 'view', {'which': 'sr'})['png'])))).astype(float)
+    # the adopted alternative changes the output inside the region
+    # (outside, Z is unchanged; the output may still move within the
+    # generator's receptive field of the boundary)
+    assert np.abs(after[16:80, 16:80] - before[16:80, 16:80]).max() > 0
+    # out-of-range index reports instead of crashing
+    assert 'error' in _post(server, 'alternative', {'index': 9})
+
+
 def test_page_script_consistency():
     """No JS runtime in CI: statically check the page — every
     getElementById target exists in the markup, brackets balance in the
