@@ -174,6 +174,49 @@ class SessionApi:
         self.session.load_z(req['path'])
         return {'ok': True}
 
+    def save_outputs(self, req):
+        """save_file_and_Z_map (GUI.py:1411): write the current output
+        and the Z map as PNGs (Z scaled so neutral Z=0 encodes as 127 —
+        the wire format region_from_z reads back)."""
+        s = self.session
+        if s.sr is None:
+            return {'error': 'no image open'}
+        from PIL import Image
+        prefix = req['path']
+        out_p, z_p = prefix + '_out.png', prefix + '_Z.png'
+        Image.fromarray((np.clip(s.sr[0], 0, 1) * 255 + 0.5)
+                        .astype(np.uint8)).save(out_p)
+        z = s.cur_z[0]
+        if z.shape[-1] > 3:
+            z = z[..., :3]
+        elif z.shape[-1] < 3:
+            z = np.concatenate([z] + [np.zeros_like(z[..., :1])]
+                               * (3 - z.shape[-1]), -1)
+        # truncating cast: neutral Z=0 lands exactly on 127, the value
+        # region_from_z (and the reference's Load_Z_mask) tests against
+        Image.fromarray(np.clip(
+            (z / (2 * s.z_range) + 0.5) * 255, 0, 255)
+            .astype(np.uint8)).save(z_p)
+        return {'out': out_p, 'z': z_p}
+
+    def region_from_z(self, req):
+        """Load_Z_mask (GUI.py:1425): derive the editing mask from a
+        saved Z-map PNG — the pixels whose Z differs from neutral 127."""
+        if 'image' in req:
+            arr = _decode_image(req['image'])
+        else:
+            from PIL import Image
+            arr = np.asarray(Image.open(req['path'])).astype(np.float32) \
+                / 255.0
+        mask = np.any(np.abs(arr[..., :3] - 127.0 / 255.0)
+                      > 0.5 / 255.0, axis=-1)
+        s = self.session
+        if mask.shape != s.region_mask_hr.shape:
+            return {'error': f'Z map shape {mask.shape} does not match '
+                             f'the open image {s.region_mask_hr.shape}'}
+        s.set_region(mask.astype(np.float32))
+        return {'selected_px': int(s.region_mask_hr.sum())}
+
     def kernel(self, req):
         kind = req.get('kind', 'bicubic')
         if kind == 'bicubic':
@@ -413,6 +456,24 @@ class JpegSessionApi(SessionApi):
         return {'error': "random-alternative browsing is SR-only (the "
                          "JPEG session's objective set has no random "
                          'diversity objective)'}
+
+    def save_outputs(self, req):
+        """save_file_and_Z_map, JPEG flavor (GUI.py:1411): decoded
+        output (color recomposition) — the 64-channel DCT-domain Z has
+        no PNG wire format, so no Z map is written."""
+        s = self.session
+        if s.out is None:
+            return {'error': 'no image open'}
+        from PIL import Image
+        out_p = req['path'] + '_out.png'
+        img = s.compose_rgb()
+        Image.fromarray((np.clip(img, 0, 1) * 255 + 0.5)
+                        .astype(np.uint8)).save(out_p)
+        return {'out': out_p}
+
+    def region_from_z(self, req):
+        return {'error': 'Z-map PNGs are SR-only (JPEG Z lives in the '
+                         'DCT domain)'}
 
     def optimize(self, req):
         from exsr.utils.color import rgb2ycbcr
@@ -688,7 +749,10 @@ PAGE = """<!DOCTYPE html>
    <button onclick="api('redo',{}).then(refresh)">redo</button>
    <button onclick="api('save_z',{path:'session_z.npz'})">save Z</button>
    <button onclick="api('load_z',{path:'session_z.npz'}).then(refresh)">
-    load Z</button></div>
+    load Z</button>
+   <button onclick="api('save_outputs',{path:'session'}).then(
+     j => log(j.error || ('saved ' + j.out + (j.z ? ' + ' + j.z : ''))))">
+    save PNGs</button></div>
   <div class="row" id="kernelrow">kernel:
    <button onclick="api('kernel',{kind:'bicubic'}).then(refresh)">bicubic
    </button>

@@ -327,6 +327,31 @@ def test_alternatives_and_invert_region(server):
     assert 'error' in _post(server, 'alternative', {'index': 9})
 
 
+def test_save_outputs_and_region_from_z(server, tmp_path):
+    """save_file_and_Z_map + Load_Z_mask round-trip (GUI.py:1411,1425):
+    the saved Z-map PNG encodes edited pixels away from neutral 127, and
+    region_from_z recovers the editing mask from it."""
+    rng = np.random.default_rng(11)
+    img = rng.uniform(size=(96, 96, 3)).astype(np.float32)
+    _post(server, 'open', {'image': _png_b64(img), 'is_hr': True})
+    # edit a sub-region so its Z leaves neutral
+    _post(server, 'region', {'rect': [32, 32, 64, 64]})
+    _post(server, 'uniform_z', {'values': [0.9, 0.9, 0.9]})
+    out = _post(server, 'save_outputs',
+                {'path': str(tmp_path / 'sess')})
+    assert out['out'].endswith('_out.png') and out['z'].endswith('_Z.png')
+    from PIL import Image
+    assert np.asarray(Image.open(out['out'])).shape == (96, 96, 3)
+    # wipe the selection, then recover it from the saved Z map
+    _post(server, 'clear_region', {})
+    r = _post(server, 'region_from_z', {'path': out['z']})
+    assert 32 * 32 <= r['selected_px'] <= 34 * 34
+    # shape-mismatch reports instead of crashing
+    bad = np.full((8, 8, 3), 0.2, np.float32)
+    assert 'error' in _post(server, 'region_from_z',
+                            {'image': _png_b64(bad)})
+
+
 def test_page_script_consistency():
     """No JS runtime in CI: statically check the page — every
     getElementById target exists in the markup, brackets balance in the
