@@ -251,6 +251,17 @@ class EditSession:
         self.recompute()
         return self.sr
 
+    def copy_default_to_alternatives(self):
+        """CopyDefault2Alternative (GUI.py:1421,1817): push cur_Z into
+        every retained alternative inside the selected region."""
+        alt = getattr(self, '_alternatives', None)
+        assert alt is not None, \
+            'no retained alternatives — run optimize with n_alternatives>1'
+        ys, xs = alt['hr_slice']
+        m = self.region_mask_hr[ys, xs][None, :, :, None] \
+            .astype(np.float32)
+        alt['zs'] = alt['zs'] * (1 - m) + self.cur_z[:, ys, xs] * m
+
     def invert_region(self):
         """Invert_Z_Mask (GUI.py:1424): flip the selected region."""
         self.set_region(1.0 - self.region_mask_hr)

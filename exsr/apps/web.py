@@ -120,8 +120,13 @@ class SessionApi:
 
     def alternative(self, req):
         """Browse or adopt a retained random alternative
-        (GUI.py:1420,1740-1800): ``index`` selects it, ``copy: true``
-        runs CopyAlternative2Default (Z adopted inside the region)."""
+        (GUI.py:1420-1421,1740-1800): ``index`` selects it, ``copy:
+        true`` runs CopyAlternative2Default (Z adopted inside the
+        region), ``push: true`` runs CopyDefault2Alternative (cur_Z
+        pushed into every alternative inside the region)."""
+        if req.get('push'):
+            self.session.copy_default_to_alternatives()
+            return {'ok': True}
         i = int(req.get('index', 0))
         if req.get('copy'):
             self.session.copy_alternative(i)
@@ -706,7 +711,9 @@ PAGE = """<!DOCTYPE html>
    <button onclick="optimizeAlts()">random alternatives</button>
    <button onclick="altView(-1)">&lt;</button>
    <button onclick="altView(1)">&gt;</button>
-   <button onclick="altCopy()">adopt</button></div>
+   <button onclick="altCopy()">adopt</button>
+   <button onclick="api('alternative',{push:true}).then(
+     () => log('pushed current Z into alternatives'))">push</button></div>
   <div class="row">budget s <input id="budget" value="8" size="3">
    objective <input id="obj" value="l1" size="12">
    <button onclick="optimize(document.getElementById('obj').value)">run

@@ -323,6 +323,9 @@ def test_alternatives_and_invert_region(server):
     # (outside, Z is unchanged; the output may still move within the
     # generator's receptive field of the boundary)
     assert np.abs(after[16:80, 16:80] - before[16:80, 16:80]).max() > 0
+    # CopyDefault2Alternative: push cur_Z back into the alternatives
+    assert _post(server, 'alternative', {'push': True})['ok']
+    assert 'png' in _post(server, 'alternative', {'index': 0})
     # out-of-range index reports instead of crashing
     assert 'error' in _post(server, 'alternative', {'index': 9})
 
