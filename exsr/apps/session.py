@@ -731,13 +731,21 @@ class EditSession:
         return {'position': best[1], 'consistency_error': best[0]}
 
     def imprint(self, imprint_rgb: np.ndarray, position: tuple[int, int],
-                optimize_iters: int = 25):
+                optimize_iters: int = 25,
+                imprint_mask: np.ndarray | None = None):
         """Paste an imprint at an HR position, make it LR-consistent, and
-        pull Z toward reproducing it (GUI.py:857-1283 imprinting flow)."""
+        pull Z toward reproducing it (GUI.py:857-1283 imprinting flow).
+        ``imprint_mask`` (0..1, imprint-sized) keeps the current output
+        where 0 — the transparent-mask mode of finalize_imprinting
+        (GUI.py:1125-1131)."""
         y, x = position
         ih, iw = imprint_rgb.shape[:2]
         desired_full = np.asarray(self.sr[0], np.float64).copy()
-        desired_full[y:y + ih, x:x + iw] = imprint_rgb
+        patch = np.asarray(imprint_rgb, np.float64)
+        if imprint_mask is not None:
+            m = np.asarray(imprint_mask, np.float64)[..., None]
+            patch = m * patch + (1 - m) * desired_full[y:y + ih, x:x + iw]
+        desired_full[y:y + ih, x:x + iw] = patch
         consistent = self.cem.enforce_dt_on_image_pair(
             self.lr_image[0].astype(np.float64), desired_full)
         mask = np.zeros(self.region_mask_hr.shape, np.float32)

@@ -283,8 +283,23 @@ class SessionApi:
     def imprint(self, req):
         """Place an imprint (uploaded image) at a given or auto-located HR
         position: composite, enforce LR-consistency, pull Z toward it
-        (GUI.py:857-1283 imprinting flow)."""
+        (GUI.py:857-1283 imprinting flow).  ``transparent: true`` color-
+        keys the imprint: pixels matching ``transparent_color`` (default
+        white, +-2 graylevels, morphologically closed) keep the current
+        output — the special-behavior toggle of finalize_imprinting
+        (GUI.py:880,1125-1131)."""
         imp = self._decode_imprint(req)
+        imprint_mask = None
+        if req.get('transparent'):
+            from scipy import ndimage
+            color = np.asarray(req.get('transparent_color',
+                                       [255, 255, 255]), np.float32)
+            d = np.sqrt(np.mean(
+                (np.round(imp * 255) - color) ** 2, -1))
+            tmask = ndimage.binary_closing(
+                d <= 2.0, structure=ndimage.generate_binary_structure(
+                    2, 1))
+            imprint_mask = 1.0 - tmask.astype(np.float32)
         result = {}
         pos = req.get('position')
         if pos is None or req.get('auto'):
@@ -296,7 +311,8 @@ class SessionApi:
             result['consistency_error'] = float(found['consistency_error'])
         out = self.session.imprint(
             imp, (int(pos[0]), int(pos[1])),
-            optimize_iters=int(req.get('optimize_iters', 25)))
+            optimize_iters=int(req.get('optimize_iters', 25)),
+            imprint_mask=imprint_mask)
         result.update({'position': [int(pos[0]), int(pos[1])],
                        'final_loss': out['final_loss'],
                        'rounds': out['rounds']})
@@ -737,6 +753,7 @@ PAGE = """<!DOCTYPE html>
   <div class="row" id="imprintrow">imprint:
    <input type="file" id="impfile">
    <label><input type="checkbox" id="impauto">auto-locate</label>
+   <label><input type="checkbox" id="imptrans">transparent bg</label>
    <button onclick="doImprint(false)">place in region</button>
    <button onclick="doImprint(true)">find location</button></div>
   <div class="row" id="hsvrow">hue <input type="range" id="hue"
@@ -901,6 +918,7 @@ function doImprint(findOnly) {
   if (document.getElementById('impauto').checked) {
    body.auto = true; delete body.position;
   }
+  if (document.getElementById('imptrans').checked) body.transparent = true;
   log('imprinting...');
   const j = await api('imprint', body);
   if (j.position) log('imprinted at ' + j.position + ', loss '

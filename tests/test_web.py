@@ -192,6 +192,15 @@ def test_editing_tools_flow(server, tmp_path):
     assert out['position'] == [y, x]
     assert np.isfinite(out['final_loss'])
 
+    # transparent-background imprint (special-behavior toggle,
+    # GUI.py:880,1125-1131): white pixels keep the current output
+    timp = np.ones((16, 16, 3), np.float32)
+    timp[4:12, 4:12] = [0.1, 0.6, 0.1]
+    out = _post(server, 'imprint',
+                {'image': _png_b64(timp), 'position': [y, x],
+                 'transparent': True, 'optimize_iters': 3})
+    assert np.isfinite(out['final_loss'])
+
     # and the auto path end-to-end
     out = _post(server, 'imprint',
                 {'image': _png_b64(imprint), 'auto': True,
