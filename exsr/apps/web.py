@@ -709,6 +709,7 @@ PAGE = """<!DOCTYPE html>
     <option>gt</option><option>z</option></select>
    <button onclick="refresh()">refresh</button>
    <label><input type="checkbox" id="selmode" checked>select region</label>
+   <label><input type="checkbox" id="polymode">poly</label>
    <button onclick="api('clear_region',{})">clear region</button>
    <button onclick="api('invert_region',{}).then(refresh)">invert</button>
   </div>
@@ -954,9 +955,33 @@ async function digitAuto() {
       (j.prob ? ' (p=' + j.prob.toFixed(3) + ')' : ''));
  refresh();
 }
+// ---- polygon region selection (the GUI's poly tool, GUI.py:565-614):
+// click to add vertices, double-click to close ----
+let polyPts = [];
+cv.ondblclick = async (e) => {
+ if (!document.getElementById('polymode').checked || polyPts.length < 3)
+  return;
+ const j = await api('region', {polygon: polyPts});
+ log('poly region: ' + j.selected_px + ' px');
+ polyPts = []; rect = null; refresh();
+};
 cv.onmousedown = (e) => {
  const b = cv.getBoundingClientRect();
  const y = e.clientY - b.top, x = e.clientX - b.left;
+ if (document.getElementById('polymode').checked &&
+     document.getElementById('selmode').checked &&
+     !document.getElementById('paintmode').checked) {
+  polyPts.push([Math.round(y), Math.round(x)]);
+  ctx.fillStyle = '#3df';
+  ctx.fillRect(x - 2, y - 2, 4, 4);
+  if (polyPts.length > 1) {
+   const p = polyPts[polyPts.length - 2];
+   ctx.strokeStyle = '#3df'; ctx.setLineDash([4, 3]);
+   ctx.beginPath(); ctx.moveTo(p[1], p[0]); ctx.lineTo(x, y);
+   ctx.stroke();
+  }
+  return;
+ }
  if (document.getElementById('paintmode').checked) {
   if (document.getElementById('sclass').value === '4') {
    tvCur = tvNext;                     // ids 4..15 fit the 16-wide buckets
