@@ -744,11 +744,14 @@ PAGE = """<!DOCTYPE html>
    <button onclick="svd()">apply SVD Z</button></div>
   <div class="row" id="scribblerow">
    <label><input type="checkbox" id="paintmode">scribble</label>
+   <select id="sshape"><option>brush</option><option>line</option>
+    <option>rect</option><option>ellipse</option></select>
    class <select id="sclass"><option value="1">color</option>
     <option value="2">brighten</option><option value="3">darken</option>
     <option value="4">TV region</option></select>
    <input type="color" id="scolor" value="#ff0000">
    width <input id="swidth" value="3" size="2">
+   <button onclick="undoScribble()">undo stroke</button>
    <button onclick="clearScribble()">clear</button>
    <button onclick="runScribble()">run scribble</button></div>
   <div class="row" id="imprintrow">imprint:
@@ -857,20 +860,59 @@ function ensureScribble() {
 }
 function clearScribble() {
  ensureScribble(); sctx.clearRect(0, 0, imgW, imgH);
- mctx.clearRect(0, 0, imgW, imgH); tvNext = 4; refresh();
+ mctx.clearRect(0, 0, imgW, imgH); tvNext = 4; sUndo.length = 0;
+ refresh();
+}
+// stroke-level undo (the GUI's undo_scribble_button, GUI.py:272-300)
+const sUndo = [];
+function snapScribble() {
+ ensureScribble();
+ if (sUndo.length > 19) sUndo.shift();
+ sUndo.push([sctx.getImageData(0, 0, imgW, imgH),
+             mctx.getImageData(0, 0, imgW, imgH)]);
+}
+function undoScribble() {
+ if (!sUndo.length) return;
+ ensureScribble();
+ const [a, b] = sUndo.pop();
+ sctx.putImageData(a, 0, 0); mctx.putImageData(b, 0, 0); refresh();
+}
+function classColors() {
+ let cls = document.getElementById('sclass').value;
+ if (cls === '4') cls = String(tvCur);
+ const colors = {2: '#ffffff', 3: '#000000'};
+ const vis = colors[cls] || document.getElementById('scolor').value;
+ const v = parseInt(cls) * 16;  // wide buckets: AA-proof class encoding
+ return [vis, 'rgb(' + v + ',' + v + ',' + v + ')'];
 }
 function paintAt(y, x) {
  ensureScribble();
  const w = parseInt(document.getElementById('swidth').value) || 3;
- let cls = document.getElementById('sclass').value;
- if (cls === '4') cls = String(tvCur);
- const colors = {2: '#ffffff', 3: '#000000'};
- sctx.fillStyle = colors[cls] ||
-   document.getElementById('scolor').value;
+ const [vis, mcol] = classColors();
+ sctx.fillStyle = vis;
  sctx.beginPath(); sctx.arc(x, y, w, 0, 6.3); sctx.fill();
- const v = parseInt(cls) * 16;  // wide buckets: AA-proof class encoding
- mctx.fillStyle = 'rgb(' + v + ',' + v + ',' + v + ')';
+ mctx.fillStyle = mcol;
  mctx.beginPath(); mctx.arc(x, y, w, 0, 6.3); mctx.fill();
+ ctx.drawImage(scv, 0, 0);
+}
+// line/rect/ellipse scribble shapes (the GUI's shape tools,
+// GUI.py:640-855), stroked into both the visible and the class canvas
+let shapeStart = null;
+function drawShape(y0, x0, y1, x1) {
+ ensureScribble();
+ const w = parseInt(document.getElementById('swidth').value) || 3;
+ const shape = document.getElementById('sshape').value;
+ const cols = classColors();
+ [[sctx, cols[0]], [mctx, cols[1]]].forEach(([c, col]) => {
+  c.strokeStyle = col; c.lineWidth = 2 * w; c.beginPath();
+  if (shape === 'line') { c.moveTo(x0, y0); c.lineTo(x1, y1); }
+  else if (shape === 'rect')
+   c.rect(Math.min(x0, x1), Math.min(y0, y1),
+          Math.abs(x1 - x0), Math.abs(y1 - y0));
+  else c.ellipse((x0 + x1) / 2, (y0 + y1) / 2, Math.abs(x1 - x0) / 2,
+                 Math.abs(y1 - y0) / 2, 0, 0, 6.3);
+  c.stroke();
+ });
  ctx.drawImage(scv, 0, 0);
 }
 async function runScribble() {
@@ -987,6 +1029,10 @@ cv.onmousedown = (e) => {
    tvCur = tvNext;                     // ids 4..15 fit the 16-wide buckets
    tvNext = tvNext >= 15 ? 4 : tvNext + 1;
   }
+  snapScribble();
+  if (document.getElementById('sshape').value !== 'brush') {
+   shapeStart = [y, x]; return;
+  }
   painting = true; paintAt(y, x); return;
  }
  if (!document.getElementById('selmode').checked) return;
@@ -998,6 +1044,12 @@ cv.onmousemove = (e) => {
  paintAt(e.clientY - b.top, e.clientX - b.left);
 };
 cv.onmouseup = async (e) => {
+ if (shapeStart) {
+  const b = cv.getBoundingClientRect();
+  drawShape(shapeStart[0], shapeStart[1],
+            e.clientY - b.top, e.clientX - b.left);
+  shapeStart = null; return;
+ }
  if (painting) { painting = false; return; }
  if (!drag) return;
  const b = cv.getBoundingClientRect();
