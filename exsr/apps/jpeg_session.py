@@ -381,6 +381,8 @@ class JPEGEditSession:
                  max_iters: int = 25, lr: float = 0.1):
         """Gradient Z edit in the DCT-latent space."""
         assert self.params is not None
+        assert self.region_mask is not None and self.region_mask.sum() > 0, \
+            'empty region selection — select a region (or invert back)'
         data = data or {}
         self._push()
         qf = self._qf_arr()
@@ -424,26 +426,42 @@ class JPEGEditSession:
             # in the JPEG GUI (SVHN classifier loaded only when JPEG_GUI,
             # GUI.py:1332,1393-1397; objective Z_optimization.py:551-601).
             # The Y-only output is replicated to the classifier's 3
-            # channels inside digit_objective's resize.
+            # channels inside the view transform's resize.  The target
+            # label flows as a traced obj_arg so the 10-digit
+            # Auto_Explore loop reuses ONE compiled graph.
             classifier = data['classifier_apply']
             ys, xs = np.nonzero(mask > 0)
             bounds = (int(ys.min()), int(xs.min()), int(ys.max()),
                       int(xs.max()))
-            loss = obj.digit_objective(
-                classifier, bounds, int(data['digit_2_resemble']),
-                multiview=tuple(data.get('multiview_classification',
-                                         (1, 3))))
+            mvt = tuple(data.get('multiview_classification', (1, 3)))
+            transform = obj.digit_views_transform(bounds, mvt)
+            loss = obj.digit_objective_traced(classifier, transform)
+            obj_args = {'digit': jnp.asarray(
+                int(data['digit_2_resemble']), jnp.int32)}
+            zo_key = ('digit', bounds, mvt, id(self.comp),
+                      data.get('classifier_cache_key', id(classifier)))
         else:
             raise NotImplementedError(objective)
 
-        zo = ZOptimizer(forward, loss, lr=lr)
+        if name == 'digit':
+            cache = getattr(self, '_zo_cache', None)
+            if cache is None:
+                cache = self._zo_cache = {}
+            if zo_key not in cache:
+                cache[zo_key] = ZOptimizer(lambda z, a: forward(z),
+                                           loss, lr=lr)
+            zo = cache[zo_key]
+        else:
+            obj_args = None
+            zo = ZOptimizer(forward, loss, lr=lr)
         theta0 = jnp.asarray(atanh_init(jnp.asarray(self.cur_z), 1.0))
         bm = getattr(self, '_block_mask', None)
         z_mask = (jnp.asarray(bm[None, :, :, None]) if bm is not None
                   and bm.min() < 1 else None)
         z, theta, _, losses = zo.optimize(theta0, max_iters,
                                           z_mask=z_mask,
-                                          frozen_theta=theta0)
+                                          frozen_theta=theta0,
+                                          obj_args=obj_args)
         self.cur_z = np.asarray(z)
         self.recompute()
         return {'out': self.out, 'losses': losses}
@@ -453,7 +471,7 @@ class JPEGEditSession:
         the SR flow (Z_optimization.py:409-423) with the HSV value-scaling
         collapsed onto Y itself (Y *is* the value channel of the Y-only
         decoded output)."""
-        from scipy.signal import convolve2d
+        from exsr.utils.misc import scribble_mask_components
         scribble_mask = np.asarray(data['scribble_mask'])
         desired = np.asarray(data['desired'], np.float32)
         if desired.ndim == 3 and desired.shape[-1] == 3:
@@ -466,21 +484,12 @@ class JPEGEditSession:
             else:
                 desired = rgb2ycbcr(desired, only_y=True)
         desired = np.asarray(desired, np.float32).squeeze()[None, ..., None]
-        brightness = float(data.get('brightness_factor', 0.0))
-        mult = np.ones_like(scribble_mask, np.float32)
-        mult += brightness * (scribble_mask == 2).astype(np.float32)
-        mult -= brightness * (scribble_mask == 3).astype(np.float32)
-        k = np.ones((3, 3)) / 9.0
-        mult = convolve2d(np.pad(mult, 1, mode='edge'), k, 'valid')
-        if brightness:
+        mult, l1_mask, tv_masks = scribble_mask_components(
+            scribble_mask, mask, float(data.get('brightness_factor', 0.0)))
+        if data.get('brightness_factor', 0.0):
             cur = np.clip(initial_out[0, :, :, 0], 0, 1)
             sel = (scribble_mask == 2) | (scribble_mask == 3)
             desired[0, :, :, 0] = np.where(
                 sel, np.clip(cur * mult, 0, 1), desired[0, :, :, 0])
-        l1_mask = jnp.asarray(
-            (mask * ((scribble_mask > 0) & (scribble_mask < 4)))
-            .astype(np.float32))
-        tv_ids = [i for i in np.unique(scribble_mask * mask) if i > 3]
-        tv_masks = [jnp.asarray((mask * (scribble_mask == i))
-                                .astype(np.float32)) for i in tv_ids]
-        return jnp.asarray(desired), l1_mask, tv_masks
+        return (jnp.asarray(desired), jnp.asarray(l1_mask),
+                [jnp.asarray(m) for m in tv_masks])

@@ -214,6 +214,7 @@ class EditSession:
                                       np.float32)
         self._history.clear()
         self._redo.clear()
+        self._alternatives = None   # retained Zs belong to the old image
         self.recompute()
         return self.sr
 
@@ -369,6 +370,8 @@ class EditSession:
         optionally prefixed with 'local_'.
         """
         assert self.params is not None, 'load or init generator params first'
+        assert self.region_mask_hr.sum() > 0, \
+            'empty region selection — select a region (or invert back)'
         data = data or {}
         self._push_history()
         box = self._crop_box()
@@ -665,18 +668,13 @@ class EditSession:
     def _scribble_targets(self, data, mask, initial_out):
         """Desired image + masks for scribble/brightness edits
         (Z_optimization.py:409-423)."""
-        from scipy.signal import convolve2d
+        from exsr.utils.misc import scribble_mask_components
         scribble_mask = data['scribble_mask']
         desired = np.asarray(data['desired']).copy()
         brightness = data.get('brightness_factor', 0.0)
-        mult = np.ones_like(scribble_mask, np.float32)
-        mult += brightness * (scribble_mask == 2).astype(np.float32)
-        mult -= brightness * (scribble_mask == 3).astype(np.float32)
-        k = np.ones((3, 3)) / 9.0
-        mult = convolve2d(np.pad(mult, 1, mode='edge'), k, 'valid')
+        mult, l1_mask, tv_masks = scribble_mask_components(
+            scribble_mask, mask, brightness)
         if brightness:
-            import colorsys
-            from exsr.utils.color import rgb2ycbcr  # noqa: F401
             # HSV value-channel scaling of the current output
             cur = np.clip(initial_out[0], 0, 1)
             mx = cur.max(-1)
@@ -684,13 +682,8 @@ class EditSession:
                             / np.maximum(mx[..., None], 1e-6))
             sel = ((scribble_mask == 2) | (scribble_mask == 3))[..., None]
             desired = np.where(sel, np.clip(scaled, 0, 1)[None], desired)
-        l1_mask = jnp.asarray(
-            (mask * ((scribble_mask > 0) & (scribble_mask < 4)))
-            .astype(np.float32))
-        tv_ids = [i for i in np.unique(scribble_mask * mask) if i > 3]
-        tv_masks = [jnp.asarray((mask * (scribble_mask == i))
-                                .astype(np.float32)) for i in tv_ids]
-        return jnp.asarray(desired), l1_mask, tv_masks
+        return (jnp.asarray(desired), jnp.asarray(l1_mask),
+                [jnp.asarray(m) for m in tv_masks])
 
     # -------------------------------------------------------------- editing
     def find_optimal_imprint_location(self, imprint: np.ndarray,
@@ -749,7 +742,10 @@ class EditSession:
         consistent = self.cem.enforce_dt_on_image_pair(
             self.lr_image[0].astype(np.float64), desired_full)
         mask = np.zeros(self.region_mask_hr.shape, np.float32)
-        mask[y:y + ih, x:x + iw] = 1.0
+        # transparent pixels stay unconstrained (the reference ANDs the
+        # imprint mask with the negated transparency mask, GUI.py:1130)
+        mask[y:y + ih, x:x + iw] = (1.0 if imprint_mask is None else
+                                    np.asarray(imprint_mask, np.float32))
         self.set_region(mask)
         return self.optimize(
             'l1', data={'desired': np.clip(consistent, 0, 1)[None]

@@ -213,8 +213,11 @@ class SessionApi:
             from PIL import Image
             arr = np.asarray(Image.open(req['path'])).astype(np.float32) \
                 / 255.0
-        mask = np.any(np.abs(arr[..., :3] - 127.0 / 255.0)
-                      > 0.5 / 255.0, axis=-1)
+        if arr.ndim == 2:          # grayscale Z-map PNG
+            mask = np.abs(arr - 127.0 / 255.0) > 0.5 / 255.0
+        else:
+            mask = np.any(np.abs(arr[..., :3] - 127.0 / 255.0)
+                          > 0.5 / 255.0, axis=-1)
         s = self.session
         if mask.shape != s.region_mask_hr.shape:
             return {'error': f'Z map shape {mask.shape} does not match '
@@ -296,9 +299,13 @@ class SessionApi:
                                        [255, 255, 255]), np.float32)
             d = np.sqrt(np.mean(
                 (np.round(imp * 255) - color) ** 2, -1))
+            # edge-pad before closing: scipy's border_value=0 erosion
+            # would delete the 1-px border of the transparency mask
+            # (cv2 MORPH_CLOSE in the reference is border-neutral)
+            padded = np.pad(d <= 2.0, 1, mode='edge')
             tmask = ndimage.binary_closing(
-                d <= 2.0, structure=ndimage.generate_binary_structure(
-                    2, 1))
+                padded, structure=ndimage.generate_binary_structure(
+                    2, 1))[1:-1, 1:-1]
             imprint_mask = 1.0 - tmask.astype(np.float32)
         result = {}
         pos = req.get('position')
@@ -620,10 +627,12 @@ class JpegSessionApi(SessionApi):
         s = self.session
         mv = tuple(req.get('multiview', (1, 3)))
         iters = int(req.get('max_iters', 25))
+        ckey = req.get('weights') or ''
         if not req.get('auto'):
             out = s.optimize(
                 'digit',
                 data={'classifier_apply': apply_fn,
+                      'classifier_cache_key': ckey,
                       'digit_2_resemble': int(req.get('digit', 0)),
                       'multiview_classification': mv},
                 max_iters=iters)
@@ -640,6 +649,7 @@ class JpegSessionApi(SessionApi):
         for d in range(10):
             s.optimize('digit',
                        data={'classifier_apply': apply_fn,
+                             'classifier_cache_key': ckey,
                              'digit_2_resemble': d,
                              'multiview_classification': mv},
                        max_iters=iters)
@@ -842,7 +852,11 @@ document.getElementById('file').onchange = (e) => {
   const j = await api('open', {image: rd.result,
     is_hr: document.getElementById('ishr').checked});
   log('opened: ' + JSON.stringify(j.sr_shape || j.out_shape) +
-      (j.source ? ' (' + j.source + ')' : '')); rect = null; refresh();
+      (j.source ? ' (' + j.source + ')' : '')); rect = null;
+  sUndo.length = 0; altCount = 0; polyPts = [];   // previous-image state
+  if (sctx) { sctx.clearRect(0, 0, scv.width, scv.height);
+              mctx.clearRect(0, 0, mcv.width, mcv.height); }
+  refresh();
  };
  rd.readAsDataURL(f);
 };
@@ -855,6 +869,7 @@ function ensureScribble() {
  if (scv.width !== imgW || scv.height !== imgH) {
   scv.width = mcv.width = imgW; scv.height = mcv.height = imgH;
   sctx = mctx = null;
+  sUndo.length = 0;    // snapshots belong to the previous image/size
  }
  if (!sctx) { sctx = scv.getContext('2d'); mctx = mcv.getContext('2d'); }
 }
@@ -1008,6 +1023,7 @@ cv.ondblclick = async (e) => {
  polyPts = []; rect = null; refresh();
 };
 cv.onmousedown = (e) => {
+ shapeStart = null;   // a drag released off-canvas must not leak here
  const b = cv.getBoundingClientRect();
  const y = e.clientY - b.top, x = e.clientX - b.left;
  if (document.getElementById('polymode').checked &&

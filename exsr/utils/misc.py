@@ -135,3 +135,23 @@ def resize_categorical_image(image: np.ndarray, dsize,
         m = r > (0.0 if inclusive else 0.5)
         out = np.where(m, np.asarray(c, image.dtype), out)
     return out
+
+
+def scribble_mask_components(scribble_mask: np.ndarray, mask: np.ndarray,
+                             brightness: float):
+    """Shared scribble-target pieces (Z_optimization.py:409-423): the
+    3x3-smeared brightness multiplier (classes 2/3), the L1 mask over
+    drawn-stroke classes 1-3, and one mask per TV-region id (>3) —
+    used by both the SR and the JPEG (Y-channel) scribble flows."""
+    from scipy.signal import convolve2d
+    mult = np.ones_like(scribble_mask, np.float32)
+    mult += brightness * (scribble_mask == 2).astype(np.float32)
+    mult -= brightness * (scribble_mask == 3).astype(np.float32)
+    k = np.ones((3, 3)) / 9.0
+    mult = convolve2d(np.pad(mult, 1, mode='edge'), k, 'valid')
+    l1_mask = (mask * ((scribble_mask > 0) & (scribble_mask < 4))) \
+        .astype(np.float32)
+    tv_ids = [i for i in np.unique(scribble_mask * mask) if i > 3]
+    tv_masks = [(mask * (scribble_mask == i)).astype(np.float32)
+                for i in tv_ids]
+    return mult, l1_mask, tv_masks

@@ -376,6 +376,26 @@ def digit_score(classifier_apply: Callable, transform: Callable,
     return num, prob
 
 
+def digit_objective_traced(classifier_apply: Callable,
+                           transform: Callable):
+    """``digit_objective`` with the target label flowing as a traced
+    obj_arg (``args['digit']``) so one compile serves all 10 digits of
+    the Auto_Explore_Digits loop (GUI.py:1517-1539)."""
+    import optax
+
+    def loss_fn(out, z, args):
+        heads = classifier_apply(transform(out))
+        length_logits, d1 = heads[0], heads[1]
+        n = d1.shape[0]
+        lbl = jnp.full((n,), args['digit'], jnp.int32)
+        digit_loss = optax.softmax_cross_entropy_with_integer_labels(
+            d1, lbl).mean()
+        length_loss = optax.softmax_cross_entropy_with_integer_labels(
+            length_logits, jnp.ones((n,), jnp.int32)).mean()
+        return digit_loss + length_loss
+    return loss_fn
+
+
 def digit_objective(classifier_apply: Callable, mask_bounds: tuple,
                     digit: int, multiview: tuple[int, int] = (1, 3),
                     classifier_size: int = 54):

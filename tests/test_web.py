@@ -337,6 +337,16 @@ def test_alternatives_and_invert_region(server):
     assert 'png' in _post(server, 'alternative', {'index': 0})
     # out-of-range index reports instead of crashing
     assert 'error' in _post(server, 'alternative', {'index': 9})
+    # inverting the full default selection leaves nothing selected —
+    # the next edit must report a clear error, not crash in _crop_box
+    _post(server, 'clear_region', {})
+    assert _post(server, 'invert_region', {})['selected_px'] == 0
+    assert 'error' in _post(server, 'optimize',
+                            {'objective': 'max_STD', 'max_iters': 2})
+    _post(server, 'invert_region', {})
+    # reopening an image drops the retained alternatives of the old one
+    _post(server, 'open', {'image': _png_b64(img), 'is_hr': True})
+    assert 'error' in _post(server, 'alternative', {'index': 0})
 
 
 def test_save_outputs_and_region_from_z(server, tmp_path):
