@@ -224,3 +224,70 @@ def test_optimize_rounds_compiled_loop():
     np.testing.assert_allclose(np.asarray(z), np.asarray(target), atol=0.05)
     # LR decays only on plateau rounds, never below the floor semantics
     assert final_lr <= 0.3 + 1e-9
+
+
+def test_digit_views_transform_geometry():
+    """Views resize the mask crop to the 54x54 classifier input, replicate
+    the single Y channel to 3, and normalize to [-1, 1]
+    (Z_optimization.py:551-601 geometry)."""
+    t = obj.digit_views_transform((10, 10, 41, 41), (1, 3))
+    v = np.asarray(t(jnp.zeros((1, 64, 64, 1), jnp.float32)))
+    assert v.shape[1:] == (54, 54, 3)
+    assert v.shape[0] >= 3            # zoom x translation views
+    assert np.allclose(v, -1.0)       # zeros -> normalized -1
+
+
+def test_digit_score_reads_classifier_heads():
+    """digit_score returns (argmax length head, mean prob of the target
+    digit) — Z_optimization.py:782-786 semantics."""
+    t = obj.digit_views_transform((0, 0, 31, 31), (0, 1))
+
+    def clf(x):
+        n = x.shape[0]
+        length = jnp.zeros((n, 7)).at[:, 1].set(10.0)   # "one digit"
+        d1 = jnp.zeros((n, 10)).at[:, 7].set(10.0)      # "it's a 7"
+        return length, d1
+    num, prob = obj.digit_score(clf, t, jnp.zeros((1, 32, 32, 1)), 7)
+    assert num == 1 and prob > 0.99
+    _, prob3 = obj.digit_score(clf, t, jnp.zeros((1, 32, 32, 1)), 3)
+    assert prob3 < 0.01
+
+
+def test_digit_objective_traced_matches_static():
+    """The traced-label variant computes the same loss as the static
+    digit_objective for every label (one compile serves all 10)."""
+    bounds = (0, 0, 31, 31)
+    t = obj.digit_views_transform(bounds, (1, 3))
+
+    def clf(x):
+        s = x.mean(axis=(1, 2, 3))
+        return (s[:, None] + jnp.arange(7.0),
+                s[:, None] * jnp.arange(10.0))
+    out = jnp.asarray(np.random.default_rng(0).uniform(
+        size=(1, 32, 32, 1)).astype(np.float32))
+    traced = obj.digit_objective_traced(clf, t)
+    for d in (0, 4, 9):
+        static = obj.digit_objective(clf, bounds, d, multiview=(1, 3))
+        lt = float(traced(out, None, {'digit': jnp.asarray(d, jnp.int32)}))
+        ls = float(static(out, None))
+        assert np.isclose(lt, ls, rtol=1e-6)
+
+
+def test_scribble_mask_components_shared_helper():
+    """Brightness smear + class masks (Z_optimization.py:409-423): L1
+    covers stroke classes 1-3, each TV id >3 gets its own mask, and the
+    3x3-smoothed multiplier peaks at 1+b inside class-2 strokes."""
+    from exsr.utils.misc import scribble_mask_components
+    sm = np.zeros((16, 16), np.int32)
+    sm[2:5, 2:5] = 1          # color stroke
+    sm[7:10, 2:5] = 2         # brighten
+    sm[12:15, 2:5] = 5        # TV region id
+    mask = np.ones((16, 16), np.float32)
+    mult, l1, tvs = scribble_mask_components(sm, mask, 0.3)
+    assert l1[3, 3] == 1 and l1[8, 3] == 1 and l1[13, 3] == 0
+    assert len(tvs) == 1 and tvs[0][13, 3] == 1 and tvs[0][3, 3] == 0
+    assert np.isclose(mult[8, 3], 1.3)          # stroke interior
+    assert np.isclose(mult[3, 3], 1.0)          # class 1: no scaling
+    # region mask gates everything
+    _, l1g, tvg = scribble_mask_components(sm, np.zeros_like(mask), 0.3)
+    assert l1g.sum() == 0 and len(tvg) == 0
