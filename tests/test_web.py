@@ -148,6 +148,11 @@ def test_jpeg_web_flow(jpeg_server, tmp_path):
     assert _post(jpeg_server, 'save_z', {'path': zpath})['ok']
     assert _post(jpeg_server, 'load_z', {'path': zpath})['ok']
     assert _post(jpeg_server, 'svd', {'lambda0': 1})['error']
+    # JPEG save_outputs: color-recomposed PNG, no Z map (DCT-domain Z)
+    sv = _post(jpeg_server, 'save_outputs', {'path': str(tmp_path / 'j')})
+    assert sv['out'].endswith('_out.png') and 'z' not in sv
+    from PIL import Image
+    assert np.asarray(Image.open(sv['out'])).shape[-1] == 3
 
 
 def test_jpeg_web_opens_real_jpeg_coefficients(jpeg_server):
