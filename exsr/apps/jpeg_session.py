@@ -121,6 +121,7 @@ class JPEGEditSession:
         self.region_mask = np.ones((h, w), np.float32)
         self._history.clear()
         self._redo.clear()
+        self._alternatives = None   # retained Zs belong to the old image
         return self.recompute()
 
     def open_jpeg_file(self, path: str):
@@ -224,6 +225,7 @@ class JPEGEditSession:
         self.cur_z = np.zeros((1, hb, wb, self.latent_channels), np.float32)
         self.region_mask = np.ones((hb * 8, wb * 8), np.float32)
         self.y_image = None
+        self._alternatives = None   # retained Zs belong to the old image
         return self.recompute()
 
     def _qf_arr(self):
@@ -265,6 +267,44 @@ class JPEGEditSession:
             self.cur_z = self._redo.pop()
             self.recompute()
         return self.out
+
+    # ----------------------------------------------- alternatives (random)
+    def _alternative_z(self, i: int) -> np.ndarray:
+        alt = getattr(self, '_alternatives', None)
+        assert alt is not None and 0 <= i < len(alt['zs']), \
+            'no retained alternatives — run optimize with n_alternatives>1'
+        return alt['zs'][i:i + 1]
+
+    def alternative_out(self, i: int) -> np.ndarray:
+        """Decoded output of retained random alternative ``i``
+        (random_Zs browsing, GUI.py:1740-1800)."""
+        coeffs = self._g_apply(self.params, self.comp,
+                               jnp.asarray(self._alternative_z(i)))
+        coeffs = consistency_clamp(coeffs, self.comp)
+        return np.asarray(jnp.clip(
+            self.codec.extract(coeffs, self._qf_arr(),
+                               q=self._q_arr()) / 255.0, 0, 1))
+
+    def copy_alternative(self, i: int):
+        """CopyAlternative2Default (GUI.py:1420): adopt alternative
+        ``i``'s Z inside the selected region (8x8-block space)."""
+        alt_z = self._alternative_z(i)
+        self._push()
+        bm = getattr(self, '_block_mask',
+                     np.ones(self.cur_z.shape[1:3], np.float32))
+        m = bm[None, :, :, None]
+        self.cur_z = alt_z * m + self.cur_z * (1 - m)
+        return self.recompute()
+
+    def copy_default_to_alternatives(self):
+        """CopyDefault2Alternative (GUI.py:1421,1817)."""
+        alt = getattr(self, '_alternatives', None)
+        assert alt is not None, \
+            'no retained alternatives — run optimize with n_alternatives>1'
+        bm = getattr(self, '_block_mask',
+                     np.ones(self.cur_z.shape[1:3], np.float32))
+        m = bm[None, :, :, None]
+        alt['zs'] = alt['zs'] * (1 - m) + self.cur_z * m
 
     def set_region(self, mask: np.ndarray):
         """HR-pixel mask; JPEG edits smear masks to whole 8x8 blocks
@@ -378,15 +418,22 @@ class JPEGEditSession:
         return best, refined
 
     def optimize(self, objective: str, data: dict | None = None,
-                 max_iters: int = 25, lr: float = 0.1):
-        """Gradient Z edit in the DCT-latent space."""
+                 max_iters: int = 25, lr: float = 0.1,
+                 n_alternatives: int = 1):
+        """Gradient Z edit in the DCT-latent space.  'random_*'
+        objectives with ``n_alternatives`` > 1 optimize a batch of
+        diverse decodings and retain the extras for browsing/adoption
+        (the reference's ProcessRandZ flow runs through the same
+        task-agnostic Z_optimizer in the JPEG GUI, GUI.py:1476,1833)."""
         assert self.params is not None
         assert self.region_mask is not None and self.region_mask.sum() > 0, \
             'empty region selection — select a region (or invert back)'
         data = data or {}
         self._push()
         qf = self._qf_arr()
-        comp = self.comp
+        b = n_alternatives if 'random' in objective else 1
+        comp = (self.comp if b == 1 else
+                jnp.repeat(self.comp, b, axis=0))
 
         def forward(z):
             coeffs = self._g_apply(self.params, comp, z)
@@ -394,7 +441,8 @@ class JPEGEditSession:
                                                q=self._q_arr())
                             / 255.0, 0, 1)
 
-        initial_out = np.asarray(forward(jnp.asarray(self.cur_z)))
+        z0 = jnp.asarray(np.repeat(self.cur_z, b, axis=0))
+        initial_out = np.asarray(forward(z0))
         mask = self.region_mask
         helpers = obj.STDHelpers.create(mask, local='local' in objective)
         initial_std = helpers(jnp.asarray(initial_out))
@@ -421,6 +469,17 @@ class JPEGEditSession:
             loss = obj.std_objective(helpers, name, desired_std)
         elif 'TV' in name:
             loss = obj.tv_objective(helpers, initial_std)
+        elif 'random' in name:
+            # diversity across the batch of alternatives
+            # (Z_optimization.py:683-701)
+            loss = obj.diversity_objective(
+                name,
+                jnp.asarray(mask) if mask.min() < 1 else None,
+                helpers=helpers if 'local' in objective else None,
+                initial_std=initial_std,
+                initial_image=(jnp.asarray(initial_out)
+                               if 'limited' in name else None),
+                rmse_weight=data.get('rmse_weight', 0.0))
         elif name == 'digit':
             # SVHN digit exploration — in the reference this tool is wired
             # in the JPEG GUI (SVHN classifier loaded only when JPEG_GUI,
@@ -454,7 +513,12 @@ class JPEGEditSession:
         else:
             obj_args = None
             zo = ZOptimizer(forward, loss, lr=lr)
-        theta0 = jnp.asarray(atanh_init(jnp.asarray(self.cur_z), 1.0))
+        theta0 = jnp.asarray(atanh_init(z0, 1.0))
+        if b > 1:   # alternative seeds: keep the current Z, randomize rest
+            from exsr.zopt.optimizer import xavier_uniform_like
+            key = jax.random.PRNGKey(int(time.time() * 1e3) % (2 ** 31))
+            rand = xavier_uniform_like(key, theta0)
+            theta0 = jnp.concatenate([theta0[:1], rand[1:]], axis=0)
         bm = getattr(self, '_block_mask', None)
         z_mask = (jnp.asarray(bm[None, :, :, None]) if bm is not None
                   and bm.min() < 1 else None)
@@ -462,9 +526,12 @@ class JPEGEditSession:
                                           z_mask=z_mask,
                                           frozen_theta=theta0,
                                           obj_args=obj_args)
-        self.cur_z = np.asarray(z)
+        self.cur_z = np.asarray(z)[:1]
+        if b > 1:
+            self._alternatives = {'zs': np.asarray(z)[1:]}
         self.recompute()
-        return {'out': self.out, 'losses': losses}
+        return {'out': self.out, 'losses': losses,
+                'n_alternatives': b - 1 if b > 1 else 0}
 
     def _scribble_targets_y(self, data, mask, initial_out):
         """Y-channel desired image + masks for scribble/brightness edits —

@@ -481,9 +481,18 @@ class JpegSessionApi(SessionApi):
         return {'ok': True, 'selected_px': int(s.region_mask.sum())}
 
     def alternative(self, req):
-        return {'error': "random-alternative browsing is SR-only (the "
-                         "JPEG session's objective set has no random "
-                         'diversity objective)'}
+        """Browse/adopt/push retained random alternatives — the
+        reference's ProcessRandZ flow is task-agnostic and reachable
+        from the JPEG GUI too (GUI.py:1476,1833)."""
+        if req.get('push'):
+            self.session.copy_default_to_alternatives()
+            return {'ok': True}
+        i = int(req.get('index', 0))
+        if req.get('copy'):
+            self.session.copy_alternative(i)
+            return {'ok': True}
+        img = np.repeat(self.session.alternative_out(i)[0], 3, axis=-1)
+        return {'png': base64.b64encode(_png_bytes(img)).decode()}
 
     def save_outputs(self, req):
         """save_file_and_Z_map, JPEG flavor (GUI.py:1411): decoded
@@ -525,11 +534,14 @@ class JpegSessionApi(SessionApi):
                     rgb, only_y=True)[None, ..., None]
         if 'desired' not in data and 'l1' in req['objective']:
             data['desired'] = self.session.out
-        out = self.session.optimize(req['objective'], data=data,
-                                    max_iters=int(req.get('max_iters', 25)))
+        out = self.session.optimize(
+            req['objective'], data=data,
+            max_iters=int(req.get('max_iters', 25)),
+            n_alternatives=int(req.get('n_alternatives', 1)))
         losses = [float(v) for v in np.asarray(out['losses']).ravel()]
         return {'final_loss': losses[-1] if losses else None,
-                'losses': losses[-10:]}
+                'losses': losses[-10:],
+                'n_alternatives': out.get('n_alternatives', 0)}
 
     def uniform_z(self, req):
         vals = req['values']
@@ -811,7 +823,6 @@ const cv = document.getElementById('cv'), ctx = cv.getContext('2d');
    '<option>z</option>';
   document.getElementById('svdrow').style.display = 'none';
   document.getElementById('kernelrow').style.display = 'none';
-  document.getElementById('altrow').style.display = 'none';
   document.getElementById('impauto').parentElement.style.display = 'none';
   document.getElementById('digitauto').style.display = '';
   document.querySelector('h3').textContent =

@@ -309,6 +309,19 @@ def test_jpeg_imprint_and_tool_errors(jpeg_server):
                  'brightness_factor': 0.3}})
     assert np.isfinite(out['final_loss'])
 
+    # random alternatives are JPEG-reachable in the reference too
+    # (ProcessRandZ runs through the task-agnostic Z_optimizer,
+    # GUI.py:1476,1833): retain, browse, adopt, push
+    o = _post(jpeg_server, 'optimize', {'objective': 'random_l1',
+                                        'n_alternatives': 3,
+                                        'max_iters': 2})
+    assert o['n_alternatives'] == 2
+    assert 'png' in _post(jpeg_server, 'alternative', {'index': 1})
+    assert _post(jpeg_server, 'alternative',
+                 {'index': 1, 'copy': True})['ok']
+    assert _post(jpeg_server, 'alternative', {'push': True})['ok']
+    assert 'error' in _post(jpeg_server, 'alternative', {'index': 7})
+
 
 def test_alternatives_and_invert_region(server):
     """Random-alternative retention + CopyAlternative2Default + region
