@@ -32,6 +32,11 @@ def main(argv=None):
                    help='checkpoint step to load (default: latest)')
     p.add_argument('--out_dir', default='results_jpeg')
     p.add_argument('--max_images', type=int, default=None)
+    p.add_argument('--num_z', type=int, default=1,
+                   help='Z samples for the diversity sweep: Z=0 plus '
+                        'num_z-1 random uniform Zs; reports the per-pixel '
+                        'STD across decodings (test_JPEG.py:135-140, '
+                        'stats :283-299)')
     args = p.parse_args(argv)
 
     import jax
@@ -96,17 +101,30 @@ def main(argv=None):
                 z0 = jnp.zeros(comp.shape[:3] + (args.latent_channels,))
                 g_vars = dict(g.init(jax.random.PRNGKey(0), comp, z0))
             if g_vars is not None:
-                z = jnp.zeros(comp.shape[:3] + (args.latent_channels,))
-                out, coeffs = decode(g_vars, comp, z, qf_arr)
+                nz = max(1, args.num_z)
+                zshape = comp.shape[:3] + (args.latent_channels,)
+                zs = [np.zeros(zshape, np.float32)]
+                rng = np.random.default_rng(qf)
+                for _ in range(nz - 1):
+                    zs.append(rng.uniform(-1, 1, zshape)
+                              .astype(np.float32))
+                z = jnp.asarray(np.concatenate(zs, 0))
+                comp_b = jnp.repeat(comp, nz, 0)
+                out, coeffs = decode(g_vars, comp_b, z,
+                                     jnp.full((nz,), float(qf)))
                 out = np.asarray(out)
                 rec['psnr_decomp'] = calculate_psnr(out[0, ..., 0],
                                                     y[0, ..., 0])
                 rec['bin_consistency_max'] = float(
-                    jnp.abs(coeffs - comp).max())
+                    jnp.abs(coeffs - comp_b).max())
+                if nz > 1:
+                    # pixel-space diversity across the Z samples
+                    # (test_JPEG.py stats: per-pixel STD of decodings)
+                    rec['per_pixel_std'] = float(out.std(axis=0).mean())
             results.append(rec)
             print(json.dumps(rec))
     summary = {}
-    for key in ('psnr_jpeg', 'psnr_decomp'):
+    for key in ('psnr_jpeg', 'psnr_decomp', 'per_pixel_std'):
         vals = [r[key] for r in results if key in r]
         if vals:
             summary[f'avg_{key}'] = float(np.mean(vals))

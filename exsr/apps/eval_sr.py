@@ -53,6 +53,79 @@ def build_model(scale: int, nb: int = 23, latent_channels: int = 3,
     return cem, forward
 
 
+#: --latent modes realized by per-image Z-optimization, mapped to the
+#: session objective vocabulary (test.py:183-192; 'Un' variants maximize
+#: the distance, Z_optimization.py:733-734)
+OPTIMIZER_MODES = {
+    'desired_im': 'l1', 'undesired_im': 'max_l1',
+    'desired_im_vgg': 'VGG', 'undesired_im_vgg': 'max_VGG',
+    'desired_im_hist': 'hist',
+    'max_std': 'max_STD', 'min_std': 'min_STD',
+}
+
+
+def sweep_values(mode: str, num: int, z_range: float = 1.0) -> list:
+    """Symmetric single-channel sweep values including 0
+    (test.py:101-113; the Gaussian spacing covers ``z_range`` of the
+    probability mass)."""
+    if mode == 'uniform_sweep':
+        half = list(np.linspace(-z_range, 0.0, int(np.ceil(num / 2))))[:-1]
+        return half + [0.0] + [-v for v in half[::-1]]
+    from scipy.stats import norm
+    optional = np.arange(-2.0, 0.0, 0.001)
+    keep = np.argwhere(norm.cdf(optional) >= (1 - z_range) / 2)
+    optional = optional[int(keep[0][0]):]
+    n_half = max(int((num - 1) / 2), 1)
+    half = [float(optional[int(i * len(optional) / n_half)])
+            for i in range(n_half)]
+    return half + [0.0] + [-v for v in half[::-1]]
+
+
+def build_zs(args, hr_hw, rng):
+    """Z sample list for the non-optimizer latent modes, plus the index of
+    the sample used for PSNR/SSIM (the reference scores the swept-value-0
+    sample — test.py:238-242)."""
+    h, w = hr_hw
+    shape = (1, h, w, 3)
+    if args.latent == 'rand_uniform':
+        zs = [np.zeros(shape, np.float32)]
+        for _ in range(args.num_z - 1):
+            zs.append(rng.uniform(-1, 1, size=shape).astype(np.float32))
+        return zs, 0
+    if args.latent in ('uniform_sweep', 'gaussian_sweep'):
+        vals = sweep_values(args.latent, args.num_z)
+        zs = []
+        for v in vals:
+            z = np.full(shape, args.other_channels_val, np.float32)
+            z[..., args.latent_channel] = v
+            zs.append(z)
+        return zs, vals.index(0.0)
+    if args.latent == 'unit_circle':
+        # theta sweep mapped onto channels (1, 2) as (cos, sin)
+        # (test.py:126-128 pol2cart)
+        thetas = np.linspace(0.0, 2 * np.pi * (args.num_z - 1)
+                             / max(args.num_z, 1), args.num_z)
+        zs = []
+        for t in thetas:
+            z = np.full(shape, args.other_channels_val, np.float32)
+            z[..., 1] = np.cos(t)
+            z[..., 2] = np.sin(t)
+            zs.append(z)
+        return zs, 0
+    if args.latent == 'z_image':
+        assert args.z_image, '--latent z_image needs --z_image'
+        from PIL import Image
+        from exsr.utils.misc import im_to_z_input
+        paths = ([os.path.join(args.z_image, f)
+                  for f in sorted(os.listdir(args.z_image))]
+                 if os.path.isdir(args.z_image) else [args.z_image])
+        zs = [im_to_z_input(
+            np.asarray(Image.open(p).convert('RGB'), np.float32) / 255.0,
+            (h, w))[None] for p in paths]
+        return zs, 0
+    raise ValueError(args.latent)
+
+
 def main(argv=None):
     from exsr.utils.compile import enable_persistent_cache
     enable_persistent_cache()
@@ -64,6 +137,33 @@ def main(argv=None):
     p.add_argument('--checkpoint')
     p.add_argument('--num_z', type=int, default=1,
                    help='Z samples for the diversity sweep')
+    p.add_argument('--latent', default='rand_uniform',
+                   choices=['rand_uniform', 'uniform_sweep',
+                            'gaussian_sweep', 'unit_circle', 'z_image',
+                            'desired_im', 'undesired_im', 'desired_im_vgg',
+                            'undesired_im_vgg', 'desired_im_hist',
+                            'max_std', 'min_std'],
+                   help='eval-time latent distribution (test.py:30,86-135):'
+                        ' rand_uniform = Z=0 + random samples;'
+                        ' uniform_sweep / gaussian_sweep = symmetric sweep'
+                        ' of one Z channel; unit_circle = (cos,sin) sweep'
+                        ' on channels 1-2; z_image = Z maps from images;'
+                        ' desired_im*/max_std/min_std = per-image'
+                        ' Z-optimization (test.py:183-192)')
+    p.add_argument('--latent_channel', type=int, default=0,
+                   help='swept channel for the sweep modes (test.py:41)')
+    p.add_argument('--other_channels_val', type=float, default=0.0,
+                   help='value of the non-swept channels (test.py:42)')
+    p.add_argument('--z_image',
+                   help='image file or dir for --latent z_image '
+                        '(util.py Convert_Im_2_Zinput:234)')
+    p.add_argument('--desired_im',
+                   help='desired image for the desired_im* modes; defaults '
+                        'to the GT HR (measures how closely the consistent '
+                        'manifold can reach it)')
+    p.add_argument('--num_z_iters', type=int, default=250,
+                   help='Z-optimization iterations for the optimizer '
+                        'modes (test.py:32 NUM_Z_ITERS)')
     p.add_argument('--out_dir', default='results')
     p.add_argument('--save_images', action='store_true')
     p.add_argument('--save_std_map', action='store_true',
@@ -108,6 +208,29 @@ def main(argv=None):
 
     cem, forward = build_model(args.scale, args.nb,
                                checkpoint=args.checkpoint)
+    opt_objective = OPTIMIZER_MODES.get(args.latent)
+    session = None
+    if opt_objective:
+        assert args.kernel != 'estimated', \
+            'optimizer latent modes use the bicubic CEM'
+        from exsr.apps.session import EditSession
+        session = EditSession(scale=args.scale, nb=args.nb)
+        session.init_random_params(0)
+        if args.checkpoint:
+            from exsr.train.checkpoints import CheckpointManager
+            mgr = CheckpointManager(os.path.abspath(args.checkpoint))
+            state = mgr.restore({'g_params': session.params})
+            session.load_params(state['g_params'])
+        if 'VGG' in opt_objective:
+            # feature net for the VGG-space distance; seeded random init —
+            # pretrained VGG weights are converted offline when available
+            # (models/vgg.py load_torch_vgg19_features)
+            import jax
+            import jax.numpy as jnp
+            from exsr.models.vgg import VGG19Features
+            vgg = VGG19Features()
+            vp = vgg.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+            session.vgg_apply = jax.jit(lambda x: vgg.apply(vp, x))
     kernel_estimator = None
     if args.kernel == 'estimated':
         from exsr.kernelgan.kernelgan import (KernelGAN, KernelGANConfig,
@@ -144,20 +267,46 @@ def main(argv=None):
                                      checkpoint=args.checkpoint,
                                      upscale_kernel=est)
         t0 = time.time()
-        zs = [np.zeros((1, lr.shape[1] * args.scale,
-                        lr.shape[2] * args.scale, 3), np.float32)]
-        rng = np.random.default_rng(i)
-        for _ in range(args.num_z - 1):
-            zs.append(rng.uniform(-1, 1, size=zs[0].shape)
-                      .astype(np.float32))
-        # one batched forward over the Z sweep: v5e convs get markedly
-        # more efficient with rows, so the diversity sweep is cheaper as
-        # one batch-num_z call than num_z sequential batch-1 calls
-        batched = fwd(np.repeat(lr, len(zs), 0), np.concatenate(zs, 0))
-        outs = [batched[j:j + 1] for j in range(len(zs))]
+        hr_hw = (lr.shape[1] * args.scale, lr.shape[2] * args.scale)
+        rec = {'name': name}
+        if opt_objective:
+            # per-image Z-optimization toward the mode's objective
+            # (test.py:183-192; 250 iters by default)
+            session.open_image(item['lr'], is_hr=False)
+            data = {}
+            if 'l1' in opt_objective or 'VGG' in opt_objective \
+                    or 'hist' in opt_objective:
+                if args.desired_im:
+                    from PIL import Image
+                    from scipy.ndimage import zoom
+                    d = np.asarray(Image.open(args.desired_im)
+                                   .convert('RGB'), np.float32) / 255.0
+                    d = zoom(d, (hr_hw[0] / d.shape[0],
+                                 hr_hw[1] / d.shape[1], 1),
+                             order=1)[:hr_hw[0], :hr_hw[1]]
+                else:
+                    assert 'hr' in item, \
+                        'desired_im modes need --desired_im or GT HR'
+                    d = item['hr']
+                data = ({'desired': [d]} if opt_objective == 'hist'
+                        else {'desired': d[None]})
+            res = session.optimize(opt_objective, data=data,
+                                   max_iters=args.num_z_iters,
+                                   time_budget_s=1e9)
+            outs = [np.asarray(session.sr)]
+            psnr_idx = 0
+            rec['final_loss'] = float(res['final_loss'])
+        else:
+            rng = np.random.default_rng(i)
+            zs, psnr_idx = build_zs(args, hr_hw, rng)
+            # one batched forward over the Z sweep: v5e convs get markedly
+            # more efficient with rows, so the diversity sweep is cheaper
+            # as one batch-len(zs) call than sequential batch-1 calls
+            batched = fwd(np.repeat(lr, len(zs), 0), np.concatenate(zs, 0))
+            outs = [batched[j:j + 1] for j in range(len(zs))]
         dt = time.time() - t0
-        sr0 = tensor2img(outs[0])
-        rec = {'name': name, 'time_s': dt}
+        sr0 = tensor2img(outs[psnr_idx])
+        rec['time_s'] = dt
         if 'hr' in item:
             gt = tensor2img(item['hr'][None])
             b = args.scale
@@ -168,7 +317,8 @@ def main(argv=None):
                 crop_border(sr0.astype(np.float64), b),
                 crop_border(gt.astype(np.float64), b))
         # LR-consistency: downscale(SR) vs LR input (test.py:218-236)
-        down = imresize(outs[0][0].astype(np.float64), 1.0 / args.scale)
+        down = imresize(outs[psnr_idx][0].astype(np.float64),
+                        1.0 / args.scale)
         # the guarantee only holds inside the invalidity margins; clamp so
         # tiny images (interior smaller than the margins) keep >=1 px
         # instead of producing a mean over an empty slice
@@ -181,15 +331,26 @@ def main(argv=None):
         # else: LR too small for any interior pixel after the margin
         # crop — the guarantee has no valid region to measure, so the
         # metric is omitted rather than reported as a NaN mean
-        if args.num_z > 1:
+        if len(outs) > 1:
             stack = np.stack([o[0] for o in outs])
             rec['per_pixel_std'] = float(stack.std(axis=0).mean())
+            if 'hr' in item:
+                # GT high-frequency STD vs SR high-frequency STD across
+                # the Z samples — the reference's 'stats' diversity
+                # measure (test.py:218-236,281-287): the orthogonal-to-
+                # null-space component is what Z exploration can vary
+                proj = cem_i.project_2_ortho_2_ns(
+                    item['hr'].astype(np.float64))
+                rec['hr_std'] = float(
+                    255 * (item['hr'] - proj).std(axis=(0, 1)).mean())
+                hf = np.stack([o[0] - proj for o in outs])
+                rec['sr_high_freq_std'] = float(255 * hf.std(axis=0).mean())
         results.append(rec)
         if args.save_images:
             from PIL import Image
             Image.fromarray(sr0).save(
                 os.path.join(args.out_dir, f'{name}_SR.png'))
-            if args.num_z > 1 and args.save_std_map:
+            if len(outs) > 1 and args.save_std_map:
                 # normalized per-pixel diversity heatmap across the
                 # sampled Zs (visual counterpart of per_pixel_std)
                 sm = stack.std(axis=0).mean(-1)
@@ -202,7 +363,7 @@ def main(argv=None):
             from PIL import Image
             frames = []
             for v in np.linspace(-1.0, 1.0, args.z_sweep_gif):
-                z = np.zeros_like(zs[0])
+                z = np.zeros((1,) + hr_hw + (3,), np.float32)
                 z[..., 0] = v
                 frames.append(Image.fromarray(tensor2img(fwd(lr, z))))
             frames[0].save(
@@ -212,7 +373,8 @@ def main(argv=None):
         print(json.dumps(rec))
 
     summary = {'num_images': len(results)}
-    for key in ('psnr', 'ssim', 'consistency_mae', 'per_pixel_std'):
+    for key in ('psnr', 'ssim', 'consistency_mae', 'per_pixel_std',
+                'hr_std', 'sr_high_freq_std', 'final_loss'):
         vals = [r[key] for r in results if key in r]
         if vals:
             summary[f'avg_{key}'] = float(np.mean(vals))

@@ -367,7 +367,10 @@ class EditSession:
         'max_STD', 'min_STD', 'STD_increase', 'STD_decrease', 'Mag', 'TV',
         'periodicity', 'periodicity_nonInt', 'hist', 'dict', 'VGG',
         'Adversarial', 'random_l1', 'limited_random_l1', 'desired_SVD',
-        optionally prefixed with 'local_'.
+        optionally prefixed with 'local_'. Distance objectives also accept
+        a 'max_' prefix ('max_l1', 'max_VGG', 'max_hist') which maximizes
+        the distance instead — the reference's UnDesired_Im eval modes
+        (test.py:185-187, Z_optimization.py:733-734).
         """
         assert self.params is not None, 'load or init generator params first'
         assert self.region_mask_hr.sum() > 0, \
@@ -546,6 +549,14 @@ class EditSession:
                 weight=data.get('constraint_weight', 0.1))
 
         name = objective.replace('local_', '')
+        # a 'max_' prefix on a distance objective flips the loss sign —
+        # the UnDesired_Im / UnDesired_Im_VGG eval modes maximize distance
+        # from the desired image (Z_optimization.py:733-734). STD and Mag
+        # objectives carry their own min/max semantics and are unaffected.
+        negate = (name.startswith('max_') and 'STD' not in name
+                  and 'Mag' not in name)
+        if negate:
+            name = name[len('max_'):]
         if 'scribble' in name:
             desired, l1_mask, tv_masks = self._scribble_targets(
                 data, mask, initial_out)
@@ -661,6 +672,11 @@ class EditSession:
                 feature_fn=self.vgg_apply if 'VGG' in name else None)
         else:
             raise NotImplementedError(objective)
+        if negate:
+            inner_loss = loss
+
+            def loss(out, z):
+                return -inner_loss(out, z)
         if constraining is not None:
             loss = obj.with_constraint(loss, constraining)
         return loss

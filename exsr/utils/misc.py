@@ -38,6 +38,35 @@ def varying_weight(step, steps, values, legitimate_range=None):
     return w
 
 
+def im_to_z_input(image: np.ndarray, size_hw: tuple[int, int],
+                  z_range: float = 1.0,
+                  single_channel: bool = False) -> np.ndarray:
+    """Turn an arbitrary image into a Z input map — resize to the target
+    size, min-max normalize into [-z_range, z_range], then smooth with a
+    5x5 edge-padded box filter (util.py Convert_Im_2_Zinput:234-247).
+    Returns [H, W, C] float32."""
+    from scipy.ndimage import uniform_filter, zoom
+    img = np.asarray(image, np.float64)
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.shape[-1] == 1 and not single_channel:
+        img = np.repeat(img, 3, axis=-1)
+    factors = (size_hw[0] / img.shape[0], size_hw[1] / img.shape[1], 1)
+    img = zoom(img, factors, order=1)[:size_hw[0], :size_hw[1]]
+    if single_channel:
+        img = img.mean(2, keepdims=True)
+    # tolerance, not >0: bilinear zoom leaves ~1e-18 noise on constant
+    # images which min-max normalization would blow up to full range
+    if img.max() - img.min() > 1e-9:
+        img = ((img - img.min()) / (img.max() - img.min())
+               * 2 * z_range - z_range)
+        # 'nearest' boundary == the reference's edge-pad + valid conv
+        img = uniform_filter(img, size=(5, 5, 1), mode='nearest')
+    else:
+        img = img * 2 * z_range - z_range
+    return img.astype(np.float32)
+
+
 def z_map_to_png(z: np.ndarray) -> np.ndarray:
     """Encode a [-1, 1] 3-channel Z map as a uint8 image for portable
     save/load (the GUI stores Z as PNG — GUI.py:2633-2686,

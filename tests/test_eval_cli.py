@@ -41,14 +41,89 @@ def test_eval_sr_cli(img_dir, tmp_path):
     assert sm.shape == (192, 192) and sm.max() == 255
 
 
+def test_eval_sr_latent_sweep_stats(img_dir, tmp_path):
+    """Per-channel uniform sweep scores PSNR at the 0-valued sample and
+    reports the GT-vs-SR high-frequency STD stats (test.py:101-113,
+    218-236,281-287)."""
+    from exsr.apps import eval_sr
+    out = str(tmp_path / 'sweep')
+    s = eval_sr.main(['--hr_dir', img_dir, '--nb', '1', '--num_z', '3',
+                      '--latent', 'uniform_sweep', '--latent_channel', '1',
+                      '--max_images', '1', '--out_dir', out])
+    assert np.isfinite(s['avg_psnr'])
+    assert s['avg_hr_std'] > 0
+    assert s['avg_sr_high_freq_std'] >= 0
+    assert s['avg_per_pixel_std'] >= 0
+    # the sweep includes the 0 sample in the middle
+    vals = eval_sr.sweep_values('uniform_sweep', 3)
+    assert vals == [-1.0, 0.0, 1.0]
+    gvals = eval_sr.sweep_values('gaussian_sweep', 3)
+    assert gvals[1] == 0.0 and gvals[0] == -gvals[2]
+
+
+def test_eval_sr_unit_circle_and_z_image(img_dir, tmp_path):
+    """UnitCircle theta sweep (test.py:125-128) and Z-from-image mode
+    (util.py Convert_Im_2_Zinput:234)."""
+    from exsr.apps import eval_sr
+    out = str(tmp_path / 'uc')
+    s = eval_sr.main(['--hr_dir', img_dir, '--nb', '1', '--num_z', '2',
+                      '--latent', 'unit_circle', '--max_images', '1',
+                      '--out_dir', out])
+    assert s['avg_per_pixel_std'] >= 0
+    zim = tmp_path / 'zmap.png'
+    rng = np.random.default_rng(3)
+    Image.fromarray((rng.uniform(size=(32, 32, 3)) * 255)
+                    .astype(np.uint8)).save(zim)
+    out2 = str(tmp_path / 'zi')
+    s2 = eval_sr.main(['--hr_dir', img_dir, '--nb', '1',
+                       '--latent', 'z_image', '--z_image', str(zim),
+                       '--max_images', '1', '--out_dir', out2])
+    assert np.isfinite(s2['avg_psnr'])
+
+
+def test_eval_sr_optimizer_modes(img_dir, tmp_path):
+    """desired_im / max_std eval-time Z-optimization (test.py:183-192):
+    Z is optimized per image before scoring."""
+    from exsr.apps import eval_sr
+    out = str(tmp_path / 'des')
+    s = eval_sr.main(['--hr_dir', img_dir, '--nb', '1',
+                      '--latent', 'desired_im', '--num_z_iters', '2',
+                      '--max_images', '1', '--out_dir', out])
+    assert np.isfinite(s['avg_psnr'])
+    assert np.isfinite(s['avg_final_loss'])
+    out2 = str(tmp_path / 'mstd')
+    s2 = eval_sr.main(['--hr_dir', img_dir, '--nb', '1',
+                       '--latent', 'max_std', '--num_z_iters', '2',
+                       '--max_images', '1', '--out_dir', out2])
+    assert np.isfinite(s2['avg_final_loss'])
+    # consistency still holds after the optimized-Z forward
+    assert s2['avg_consistency_mae'] < 1e-3
+
+
+def test_im_to_z_input():
+    """Resize + minmax-normalize + 5x5 edge box smooth
+    (util.py:234-247)."""
+    from exsr.utils.misc import im_to_z_input
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(24, 20, 3)).astype(np.float32)
+    z = im_to_z_input(img, (48, 40), z_range=1.0)
+    assert z.shape == (48, 40, 3)
+    assert z.min() >= -1.0 - 1e-6 and z.max() <= 1.0 + 1e-6
+    # constant image skips normalization: 0.5 -> 0
+    z2 = im_to_z_input(np.full((8, 8, 3), 0.5, np.float32), (16, 16))
+    assert np.allclose(z2, 0.0, atol=1e-6)
+
+
 def test_eval_jpeg_cli(img_dir, tmp_path):
     from exsr.apps import eval_jpeg
     out = str(tmp_path / 'outj')
     eval_jpeg.main(['--data_dir', img_dir, '--qf', '10', '--nf', '16',
-                    '--nb', '3', '--out_dir', out])
+                    '--nb', '3', '--out_dir', out, '--num_z', '3'])
     summary = json.load(open(os.path.join(out, 'summary.json')))['summary']
     assert np.isfinite(summary['avg_psnr_jpeg'])
     assert np.isfinite(summary['avg_psnr_decomp'])
+    # random-Z diversity sweep (test_JPEG.py:135-140)
+    assert summary['avg_per_pixel_std'] >= 0
 
 
 def test_eval_sr_reference_opt(img_dir, tmp_path):

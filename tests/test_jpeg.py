@@ -91,3 +91,47 @@ def test_zigzag_decode():
     assert table[0, 0] == 0 and table[0, 1] == 1 and table[1, 0] == 2
     assert table[2, 0] == 3 and table[1, 1] == 4
     assert sorted(table.reshape(-1)) == list(range(64))
+
+
+def test_chroma_dct_wipe_models_subsampling():
+    """The reference's chroma-remodeling experiment
+    (scripts/JPEG_chroma_remodeling_test.py): modeling JPEG's 2x2 chroma
+    subsampling as wiping the 16x16-DCT coefficients outside the
+    low-frequency 8x8 quadrant is a faithful stand-in — on smooth
+    (natural-statistics) chroma the wipe reconstruction is far closer to
+    the original than nearest-neighbor-upsampled real subsampling is, and
+    the wiped-away high-frequency energy portion is small."""
+    from scipy.ndimage import gaussian_filter
+    rng = np.random.default_rng(0)
+    h = w = 64
+    ycbcr = np.zeros((h, w, 3), np.float32)
+    ycbcr[..., 0] = rng.uniform(0, 255, (h, w))   # luma may be rough
+    for c in (1, 2):
+        ycbcr[..., c] = gaussian_filter(
+            rng.uniform(0, 255, (h, w)), 3.0)
+    img = jnp.asarray(ycbcr[None])
+    codec16 = JPEGCodec(chroma_mode=True, block_size=16)
+    qf = jnp.asarray([90.0])
+    packed = codec16.compress_ycbcr(
+        img, qf, downsample_or_quantize='downsample_only')
+    recon = np.asarray(codec16.extract_ycbcr(packed, qf))[0]
+    # luma is untouched by the chroma wipe
+    assert np.sqrt(np.mean((recon[..., 0] - ycbcr[..., 0]) ** 2)) < 1e-3
+    # wipe model ~= original on smooth chroma (measured 0.16 gray levels)
+    rmse_wipe = np.sqrt(np.mean((recon[..., 1:] - ycbcr[..., 1:]) ** 2))
+    assert rmse_wipe < 0.5
+    # ... and is much closer than NN-upsampled real 2x2 subsampling
+    sub = ycbcr[::2, ::2, 1:]
+    nn = np.repeat(np.repeat(sub, 2, 0), 2, 1)
+    rmse_nn = np.sqrt(np.mean((nn - ycbcr[..., 1:]) ** 2))
+    assert rmse_wipe < 0.5 * rmse_nn
+    # high-frequency chroma energy portion is small even on rougher chroma
+    rough = ycbcr.copy()
+    for c in (1, 2):
+        rough[..., c] = gaussian_filter(
+            rng.uniform(0, 255, (h, w)), 1.0)
+    full = np.asarray(codec16.compress_ycbcr(
+        jnp.asarray(rough[None]), qf, downsample_or_quantize=False))
+    cb = full[0, ..., 256:512].reshape(-1, 16, 16)
+    hf_portion = 1 - (cb[:, :8, :8] ** 2).sum() / (cb ** 2).sum()
+    assert 0 <= hf_portion < 0.1

@@ -45,6 +45,26 @@ def test_svd_sliders(session):
 
 
 @pytest.mark.slow
+def test_optimize_max_l1_moves_away(session):
+    """'max_' on a distance objective flips the sign — the UnDesired_Im
+    eval mode maximizes distance from the desired image
+    (Z_optimization.py:733-734, test.py:185-187)."""
+    mask = np.zeros((96, 96), np.float32)
+    mask[24:72, 24:72] = 1.0
+    session.set_region(mask)
+    desired = session.sr.copy()  # current output: distance starts at ~0
+    res = session.optimize('max_l1', data={'desired': desired},
+                           max_iters=10, time_budget_s=20.0)
+    # the retained best loss is negative (it is -distance) and the
+    # output moved away from the desired image inside the region
+    assert res['final_loss'] < 0
+    dist = np.abs(session.sr - desired)[:, 24:72, 24:72].mean()
+    assert dist > 1e-5
+    session.undo()
+    session.clear_region()
+
+
+@pytest.mark.slow
 def test_optimize_l1_region(session):
     mask = np.zeros((96, 96), np.float32)
     mask[24:72, 24:72] = 1.0
