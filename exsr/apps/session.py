@@ -195,6 +195,39 @@ class EditSession:
         self._repack()
         self._zopt_cache.clear()
 
+    def attach_esrgan(self, params=None, nb: int | None = None,
+                      seed: int = 1):
+        """Plain (Z-less, CEM-less) ESRGAN comparison model — the GUI's
+        display_ESRGAN slot (GUI.py:2539-2550) runs a pretrained ESRGAN
+        with latent_input='None' and CEM_arch=0 directly on the LR image
+        for side-by-side display. ``params`` is a converted checkpoint
+        pytree (scripts convert_torch_g --latent_channels 0); seeded
+        random when None (pipeline checks)."""
+        from exsr.models.rrdb import RRDBNet
+        nb = self.nb if nb is None else nb
+        g = RRDBNet(nb=nb, upscale=self.scale, latent_channels=0)
+        if params is None:
+            params = g.init(jax.random.PRNGKey(seed),
+                            jnp.zeros((1, 16, 16, 3)), None)
+        self._esrgan_fwd = tuned_jit(
+            lambda p, x: jnp.clip(g.apply(p, x, None), 0.0, 1.0))
+        self._esrgan_params = params
+        self._esrgan_cache = None
+
+    def esrgan_sr(self) -> np.ndarray:
+        """Comparison SR from the attached plain-ESRGAN model, cached per
+        LR image (recomputed only when the working image changes)."""
+        assert getattr(self, '_esrgan_params', None) is not None, \
+            'attach_esrgan first'
+        assert self.lr_image is not None, 'open an image first'
+        cache = getattr(self, '_esrgan_cache', None)
+        if cache is not None and cache[0] is self.lr_image:
+            return cache[1]
+        out = np.asarray(self._esrgan_fwd(self._esrgan_params,
+                                          jnp.asarray(self.lr_image)))
+        self._esrgan_cache = (self.lr_image, out)
+        return out
+
     def open_image(self, image: np.ndarray, is_hr: bool = True):
         """HR input is consistently downsampled to form the LR working image
         (GUI.py:2483-2572)."""

@@ -85,6 +85,15 @@ class SessionApi:
     def view(self, req):
         which = req.get('which', 'sr')
         s = self.session
+        if which == 'esrgan':
+            # plain-ESRGAN comparison display slot (GUI.py:2539-2550)
+            if getattr(s, '_esrgan_params', None) is None:
+                return {'error': 'no ESRGAN model attached — start the '
+                                 'server with --esrgan'}
+            if s.lr_image is None:
+                return {'error': 'no image open'}
+            return {'png': base64.b64encode(
+                _png_bytes(s.esrgan_sr()[0])).decode()}
         img = {'sr': None if s.sr is None else s.sr[0],
                'lr': None if s.lr_image is None else s.lr_image[0],
                'gt': None if s.hr_gt is None else s.hr_gt[0],
@@ -728,7 +737,7 @@ PAGE = """<!DOCTYPE html>
   <canvas id="cv" width="512" height="512"></canvas>
   <div class="row">view:
    <select id="view"><option>sr</option><option>lr</option>
-    <option>gt</option><option>z</option></select>
+    <option>gt</option><option>z</option><option>esrgan</option></select>
    <button onclick="refresh()">refresh</button>
    <label><input type="checkbox" id="selmode" checked>select region</label>
    <label><input type="checkbox" id="polymode">poly</label>
@@ -1184,6 +1193,13 @@ def main(argv=None):
                         'artifact editing) instead of the SR session')
     p.add_argument('--qf', type=int, default=10,
                    help='JPEG quality factor (jpeg mode)')
+    p.add_argument('--esrgan', action='store_true',
+                   help="serve the plain-ESRGAN comparison view "
+                        "(the GUI's display_ESRGAN slot, GUI.py:2539-2550)")
+    p.add_argument('--esrgan_checkpoint',
+                   help='converted plain-ESRGAN checkpoint (scripts '
+                        'convert_torch_g --latent_channels 0); seeded '
+                        'random weights when omitted')
     args = p.parse_args(argv)
 
     if args.mode == 'jpeg':
@@ -1234,6 +1250,22 @@ def main(argv=None):
             {'g_params': template})['g_params'])
     else:
         session.init_random_params(0)
+    if args.esrgan or args.esrgan_checkpoint:
+        eparams = None
+        if args.esrgan_checkpoint:
+            import os
+            import jax
+            import jax.numpy as jnp
+            from exsr.models.rrdb import RRDBNet
+            from exsr.train.checkpoints import CheckpointManager
+            g0 = RRDBNet(nb=args.nb, upscale=args.scale,
+                         latent_channels=0)
+            template = g0.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 16, 16, 3)), None)
+            mgr = CheckpointManager(os.path.abspath(
+                args.esrgan_checkpoint))
+            eparams = mgr.restore({'g_params': template})['g_params']
+        session.attach_esrgan(eparams)
     if args.image:
         from PIL import Image
         img = np.asarray(Image.open(args.image).convert('RGB')) / 255.0

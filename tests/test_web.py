@@ -440,3 +440,29 @@ def test_scribble_mask_decode_formats():
     legacy[1, 1] = [5, 5, 5, 255]   # TV region id, raw
     ids = _decode_scribble_mask(b64_rgba(legacy))
     assert ids[0, 0] == 1 and ids[1, 1] == 5
+
+
+def test_esrgan_comparison_view():
+    """The GUI's display_ESRGAN slot (GUI.py:2539-2550): a plain Z-less,
+    CEM-less ESRGAN run on the LR image, served as view 'esrgan'."""
+    session = EditSession(scale=4, nb=1, time_budget_s=3.0)
+    session.init_random_params(0)
+    api = SessionApi(session)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    api.open({'image': _png_b64(img), 'is_hr': True})
+    # not attached: helpful error, not a crash
+    r = api.view({'which': 'esrgan'})
+    assert 'error' in r and 'esrgan' in r['error'].lower()
+    session.attach_esrgan(nb=1)
+    r = api.view({'which': 'esrgan'})
+    assert 'png' in r
+    e1 = session.esrgan_sr()
+    assert e1.shape == session.sr.shape
+    # unconstrained ESRGAN differs from the CEM-wrapped explorable output
+    assert np.abs(e1 - session.sr).max() > 1e-4
+    # cached per working image; recomputed after a new open
+    assert session.esrgan_sr() is e1
+    api.open({'image': _png_b64(img[:48, :48]), 'is_hr': True})
+    e2 = session.esrgan_sr()
+    assert e2 is not e1 and e2.shape == session.sr.shape
