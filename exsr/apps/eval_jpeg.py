@@ -37,6 +37,16 @@ def main(argv=None):
                         'num_z-1 random uniform Zs; reports the per-pixel '
                         'STD across decodings (test_JPEG.py:135-140, '
                         'stats :283-299)')
+    p.add_argument('--latent', default='rand_uniform',
+                   choices=['rand_uniform', 'desired_im', 'undesired_im',
+                            'max_std', 'min_std'],
+                   help='eval-time latent mode (test_JPEG.py:31,124-158): '
+                        'the *_im / *_std modes optimize Z per image '
+                        '(toward/away from the uncompressed Y, or to an '
+                        'STD extremum) before scoring')
+    p.add_argument('--num_z_iters', type=int, default=250,
+                   help='Z-optimization iterations for the optimizer '
+                        'modes (test_JPEG.py NUM_Z_ITERS)')
     args = p.parse_args(argv)
 
     import jax
@@ -70,6 +80,20 @@ def main(argv=None):
                               align_params_to(template, raw['g_params']))
         print(f'loaded generator from {args.checkpoint} (step {step})')
 
+    opt_objective = {'desired_im': 'l1', 'undesired_im': 'max_l1',
+                     'max_std': 'max_STD',
+                     'min_std': 'min_STD'}.get(args.latent)
+    session = None
+    if opt_objective:
+        from exsr.apps.jpeg_session import JPEGEditSession
+        session = JPEGEditSession(nf=args.nf, nb=args.nb,
+                                  latent_channels=args.latent_channels)
+        if g_vars is not None:
+            session.load_params(g_vars)
+        else:
+            session.init_random_params(0)
+            g_vars = session.params
+
     @jax.jit
     def decode(g_vars, comp, z, qf):
         if 'batch_stats' in g_vars:
@@ -100,7 +124,26 @@ def main(argv=None):
                 # no trained model: initialize lazily with random weights
                 z0 = jnp.zeros(comp.shape[:3] + (args.latent_channels,))
                 g_vars = dict(g.init(jax.random.PRNGKey(0), comp, z0))
-            if g_vars is not None:
+            if opt_objective:
+                # per-image Z-optimization before scoring
+                # (test_JPEG.py:124-158 optimizer latent modes)
+                session.open_image(img[:h, :w], qf=qf)
+                data = {}
+                if 'l1' in opt_objective:
+                    # the uncompressed Y is the natural desired target:
+                    # how closely can the in-bin manifold approach it?
+                    data['desired'] = (np.asarray(session.y_image)
+                                       / 255.0)
+                res = session.optimize(opt_objective, data=data,
+                                       max_iters=args.num_z_iters)
+                out = np.asarray(session.out)
+                rec['psnr_decomp'] = calculate_psnr(
+                    out[0, ..., 0] * 255.0, y[0, ..., 0])
+                losses = np.asarray(res['losses'])
+                losses = losses[np.isfinite(losses)]
+                if losses.size:
+                    rec['final_loss'] = float(losses[-1])
+            elif g_vars is not None:
                 nz = max(1, args.num_z)
                 zshape = comp.shape[:3] + (args.latent_channels,)
                 zs = [np.zeros(zshape, np.float32)]
@@ -124,7 +167,7 @@ def main(argv=None):
             results.append(rec)
             print(json.dumps(rec))
     summary = {}
-    for key in ('psnr_jpeg', 'psnr_decomp', 'per_pixel_std'):
+    for key in ('psnr_jpeg', 'psnr_decomp', 'per_pixel_std', 'final_loss'):
         vals = [r[key] for r in results if key in r]
         if vals:
             summary[f'avg_{key}'] = float(np.mean(vals))

@@ -447,6 +447,13 @@ class JPEGEditSession:
         helpers = obj.STDHelpers.create(mask, local='local' in objective)
         initial_std = helpers(jnp.asarray(initial_out))
         name = objective.replace('local_', '')
+        # 'max_' on a distance objective flips the loss sign — the
+        # UnDesired_Im eval mode maximizes distance from the desired
+        # image (Z_optimization.py:733-734); STD objectives carry their
+        # own min/max semantics
+        negate = name.startswith('max_') and 'STD' not in name
+        if negate:
+            name = name[len('max_'):]
         if 'scribble' in name:
             # the reference's scribble canvas also drives the JPEG GUI
             # (the block-smeared selection mask in
@@ -501,6 +508,11 @@ class JPEGEditSession:
                       data.get('classifier_cache_key', id(classifier)))
         else:
             raise NotImplementedError(objective)
+        if negate:
+            inner_loss = loss
+
+            def loss(out, z):
+                return -inner_loss(out, z)
 
         if name == 'digit':
             cache = getattr(self, '_zo_cache', None)

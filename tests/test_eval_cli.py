@@ -126,6 +126,18 @@ def test_eval_jpeg_cli(img_dir, tmp_path):
     assert summary['avg_per_pixel_std'] >= 0
 
 
+def test_eval_jpeg_optimizer_latent(img_dir, tmp_path):
+    """JPEG eval-time Z-optimization toward the uncompressed Y
+    (test_JPEG.py:124-158 latent modes)."""
+    from exsr.apps import eval_jpeg
+    out = str(tmp_path / 'outjd')
+    s = eval_jpeg.main(['--data_dir', img_dir, '--qf', '10', '--nf', '16',
+                        '--nb', '3', '--out_dir', out, '--max_images', '1',
+                        '--latent', 'desired_im', '--num_z_iters', '2'])
+    assert np.isfinite(s['avg_psnr_decomp'])
+    assert np.isfinite(s['avg_final_loss'])
+
+
 def test_eval_sr_reference_opt(img_dir, tmp_path):
     """`--opt` accepts a reference test_sr.json-style config and fills
     scale/nb/data roots (test.py:47-73 vocabulary)."""
