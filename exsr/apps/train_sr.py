@@ -52,6 +52,11 @@ def main(argv=None):
     p.add_argument('--tensorboard', action='store_true',
                    help='also write TB event files (optional dep; '
                         'logger.py:60-81 parity)')
+    p.add_argument('--vgg_pth',
+                   help='torchvision vgg19 weights (.pth/.npz) for the '
+                        'perceptual feature loss when the config sets '
+                        'feature_weight (train_esrgan.json); seeded '
+                        'random VGG when omitted')
     p.add_argument('--init_phase', action='store_true',
                    help='pixel+range pretraining (no GAN/D) — the '
                         'zero-egress stand-in for the reference\'s '
@@ -77,6 +82,7 @@ def main(argv=None):
     from exsr.utils.logging import MetricLog, TensorboardWriter
 
     cfg = TrainConfig(scale=args.scale, patch_size=args.patch)
+    use_cem = True
     if args.opt:
         from exsr.options.config import parse, experiment_from_reference_json
         exp = experiment_from_reference_json(parse(args.opt, is_train=True))
@@ -84,6 +90,20 @@ def main(argv=None):
         # the steps receive the full virtual batch and scan grad_accum_*
         # microbatches internally (options.py:134-157 semantics)
         args.batch = exp.train_data.batch_size
+        # honor the JSON's generator architecture unless flags override;
+        # CEM_arch=0 + latent_channels=0 is the plain ESRGAN/SRGAN
+        # variant (train_esrgan.json, SRGAN_model.py) — no CEM wrap, no Z
+        net_g = exp.network_g
+        if args.nb == p.get_default('nb'):
+            args.nb = net_g.nb
+        if args.nf == p.get_default('nf'):
+            args.nf = net_g.nf
+        use_cem = net_g.cem_arch
+        if exp.network_d.n_layers and args.d_nb == p.get_default('d_nb'):
+            args.d_nb = exp.network_d.n_layers
+        if exp.network_d.num_2_strides is not None and \
+                args.d_strides == p.get_default('d_strides'):
+            args.d_strides = exp.network_d.num_2_strides
     if args.niter:
         cfg = cfg.__class__(**{**cfg.__dict__, 'niter': args.niter})
     if args.accum_g > 1 or args.accum_d > 1:
@@ -102,23 +122,64 @@ def main(argv=None):
                                'optimal_z_weight': None,
                                'latent_weight': None, 'lr_g': 2e-4})
 
-    cem = CEM.create(CEMConf(scale_factor=cfg.scale))
-    filt = cem.device_filters(3)
-    g = RRDBNet(nb=args.nb, nf=args.nf, upscale=cfg.scale,
-                latent_channels=cfg.num_latent_channels)
-    d_input = cfg.patch_size - 2 * cem.invalidity_margins_hr
+    nz = cfg.num_latent_channels
+    if use_cem:
+        cem = CEM.create(CEMConf(scale_factor=cfg.scale))
+        filt = cem.device_filters(3)
+        margins_hr = cem.invalidity_margins_hr
+        margins_lr = cem.invalidity_margins_lr
+    else:
+        cem = filt = None
+        margins_hr = margins_lr = 0
+    d_input = cfg.patch_size - 2 * margins_hr
     d = DiscriminatorVGG128(base_nf=args.d_nf, nb=args.d_nb,
                             num_2_strides=args.d_strides,
                             input_patch_size=d_input)
     lr_patch = cfg.patch_size // cfg.scale
     rng = jax.random.PRNGKey(args.seed)
-    g_params = g.init(rng, jnp.zeros((1, lr_patch, lr_patch, 3)),
-                      jnp.zeros((1, cfg.patch_size, cfg.patch_size, 3)))
+    which_g = exp.network_g.which_model if args.opt else 'RRDB_net'
+    if which_g in ('MSRResNet', 'sr_resnet'):
+        # the legacy SRGAN-era generators (train_srgan.json,
+        # architecture.py:18-103) — Z-less by construction
+        from exsr.models.classifiers import MSRResNet, SRResNet
+        assert nz == 0, f'{which_g} has no latent input'
+        cls = MSRResNet if which_g == 'MSRResNet' else SRResNet
+        g = cls(nf=args.nf, nb=args.nb, upscale=cfg.scale)
+        g_params = g.init(rng, jnp.zeros((1, lr_patch, lr_patch, 3)))
+        raw_apply = lambda pp, x, z: g.apply(pp, x)
+    else:
+        g = RRDBNet(nb=args.nb, nf=args.nf, upscale=cfg.scale,
+                    latent_channels=nz)
+        g_params = g.init(rng, jnp.zeros((1, lr_patch, lr_patch, 3)),
+                          jnp.zeros((1, cfg.patch_size,
+                                     cfg.patch_size, nz))
+                          if nz else None)
+        # RRDBNet takes z=None when there are no latent channels; the
+        # trainer always feeds a (possibly 0-channel) z array
+        raw_apply = lambda pp, x, z: g.apply(pp, x, z if nz else None)
     d_vars = dict(d.init(jax.random.PRNGKey(args.seed + 1),
                          jnp.zeros((1, d_input, d_input, 3))))
-    wrapped = cem_wrap(lambda pp, x, z: g.apply(pp, x, z), filt,
-                       upscale=cfg.scale)
+    if use_cem:
+        wrapped = cem_wrap(raw_apply, filt, upscale=cfg.scale)
+    else:
+        # same call shape as the CEM wrapper so validate() is uniform
+        wrapped = lambda pp, x, z, m, pre_pad=True: raw_apply(pp, x, z)
     g_apply = lambda pp, x, z: wrapped(pp, x, z, 0, pre_pad=False)
+    f_apply = None
+    if cfg.feature_weight:
+        # perceptual VGG feature loss (train_esrgan.json feature_weight;
+        # networks.py define_F) — converted torchvision weights when
+        # provided, seeded random otherwise (zero-egress image)
+        from exsr.models.vgg import VGG19Features, load_torch_vgg19_features
+        vggm = VGG19Features()
+        if args.vgg_pth:
+            fvars = load_torch_vgg19_features(args.vgg_pth)
+        else:
+            print('feature loss active with RANDOM VGG weights — pass '
+                  '--vgg_pth for the reference behavior')
+            fvars = vggm.init(jax.random.PRNGKey(args.seed + 9),
+                              jnp.zeros((1, 64, 64, 3)))
+        f_apply = lambda x: vggm.apply(fvars, x)
 
     # data axis must divide the batch: use the largest device count that
     # does (all devices in the flagship configs; fewer for tiny batches)
@@ -128,8 +189,8 @@ def main(argv=None):
                      devices=jax.devices()[:n_data])
     rules = ShardingRules(mesh)
     trainer = SRRaGANTrainer(cfg, g_apply, flax_d_adapter(d),
-                             margins_hr=cem.invalidity_margins_hr,
-                             rules=rules)
+                             margins_hr=margins_hr,
+                             rules=rules, f_apply=f_apply)
     state = trainer.init_state(g_params, d_vars, jax.random.PRNGKey(
         args.seed + 2))
     ctl = GANController(
@@ -186,11 +247,10 @@ def main(argv=None):
             lr_in = item['lr'][None]
             zh = (lr_in.shape[1] * cfg.scale, lr_in.shape[2] * cfg.scale)
             outs = []
-            for zval in (0.0, -1.0, 1.0):
-                z = np.full((1, zh[0], zh[1], cfg.num_latent_channels),
-                            zval, np.float32)
+            for zval in ((0.0, -1.0, 1.0) if nz else (0.0,)):
+                z = np.full((1, zh[0], zh[1], nz), zval, np.float32)
                 out = wrapped(state.g_params, jnp.asarray(lr_in),
-                              jnp.asarray(z), cem.invalidity_margins_lr,
+                              jnp.asarray(z), margins_lr,
                               pre_pad=True)
                 outs.append(np.asarray(jnp.clip(out, 0, 1)))
             sr = tensor2img(outs[0])

@@ -263,7 +263,8 @@ def experiment_from_reference_json(opt) -> ExperimentConfig:
 
     net_g = GeneratorConfig(
         which_model=val(g['which_model_G'], 'RRDB_net'),
-        cem_arch=bool(val(g['CEM_arch'], 1)),
+        # train_srgan.json predates the CEM rename and says DTE_arch
+        cem_arch=bool(val(g['CEM_arch'], val(g['DTE_arch'], 1))),
         sigmoid_range_limit=bool(val(g['sigmoid_range_limit'], 0)),
         latent_input=g['latent_input'],
         latent_input_domain=val(g['latent_input_domain'], 'HR_downscaled'),

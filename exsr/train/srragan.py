@@ -190,7 +190,11 @@ class SRRaGANTrainer:
             g_opt=self.g_tx.init(g_params),
             d_vars=d_vars,
             d_opt=self.d_tx.init(d_vars['params']),
-            ratio_stats=RatioStats.create(self.cfg.num_latent_channels),
+            # width >= 1 even for Z-less variants (latent_channels=0,
+            # train_esrgan.json): the stats are never consumed then, but
+            # orbax cannot serialize zero-size arrays
+            ratio_stats=RatioStats.create(
+                max(self.cfg.num_latent_channels, 1)),
             rng=rng)
         if self.rules is not None:
             state = self.rules.replicate(state)

@@ -407,3 +407,96 @@ def test_train_jpeg_cli_end_to_end(tmp_path):
     assert m.last('l_d_total') is not None
     assert any(f.endswith('.pdf')
                for f in os.listdir(os.path.join(exp, 'dashboards')))
+
+
+@pytest.mark.slow
+def test_train_sr_cli_plain_esrgan(tmp_path):
+    """The plain ESRGAN/SRGAN variant via a reference-style config
+    (train_esrgan.json: CEM_arch=0, latent_input='None',
+    latent_channels=0, pixel+feature+vanilla-GAN): no CEM wrap, no Z,
+    perceptual VGG loss wired (networks.py define_F,
+    SRGAN_model.py:17)."""
+    import json as _json
+    import os
+    from PIL import Image
+    rng = np.random.default_rng(5)
+    hr_dir = tmp_path / 'hr'
+    hr_dir.mkdir()
+    for i in range(2):
+        arr = (rng.uniform(size=(128, 128, 3)) * 255).astype('uint8')
+        Image.fromarray(arr).save(hr_dir / f'im{i}.png')
+    opt = {
+        'name': 'tiny_esrgan', 'model': 'srragan', 'scale': 4,
+        'datasets': {'train': {
+            'name': 't', 'mode': 'LRHR', 'dataroot_HR': str(hr_dir),
+            'dataroot_LR': None, 'batch_size': 2, 'patch_size': 64,
+            'use_flip': True, 'use_rot': True, 'n_workers': 0}},
+        'path': {'root': str(tmp_path)},
+        'network_G': {'which_model_G': 'RRDB_net', 'CEM_arch': 0,
+                      'latent_input': 'None', 'latent_channels': 0,
+                      'nf': 8, 'nb': 1, 'in_nc': 3, 'out_nc': 3, 'gc': 4},
+        'network_D': {'which_model_D': 'discriminator_vgg_128',
+                      'norm_type': 'batch', 'nf': 8, 'in_nc': 3,
+                      'n_layers': 4, 'num_2_strides': 1},
+        'train': {'lr_G': 1e-4, 'lr_D': 1e-4, 'gan_type': 'vanilla',
+                  'gan_weight': 0.005, 'pixel_weight': 0.01,
+                  'pixel_criterion': 'l1', 'feature_weight': 1.0,
+                  'niter': 2, 'D_update_ratio': 1,
+                  'val_freq': 1000, 'lr_steps': [], 'lr_gamma': 0.5},
+    }
+    opt_path = tmp_path / 'esrgan.json'
+    opt_path.write_text(_json.dumps(opt))
+    exp = str(tmp_path / 'exp_esrgan')
+    from exsr.apps.train_sr import main
+    main(['--opt', str(opt_path), '--hr_dir', str(hr_dir),
+          '--exp_dir', exp, '--print_freq', '1'])
+    from exsr.utils.logging import MetricLog
+    m = MetricLog()
+    m.load(os.path.join(exp, 'logs.npz'))
+    assert m.last('l_d_total') is not None
+    # the perceptual term contributed to the G loss
+    assert m.last('l_g_total') is not None
+
+
+@pytest.mark.slow
+def test_train_sr_cli_msrresnet_srgan(tmp_path):
+    """train_srgan.json variant: MSRResNet generator (DTE_arch=0 — the
+    pre-rename CEM flag — and no latent input), vanilla GAN
+    (architecture.py:18-66, SRGAN_model.py)."""
+    import json as _json
+    import os
+    from PIL import Image
+    rng = np.random.default_rng(6)
+    hr_dir = tmp_path / 'hr'
+    hr_dir.mkdir()
+    for i in range(2):
+        arr = (rng.uniform(size=(128, 128, 3)) * 255).astype('uint8')
+        Image.fromarray(arr).save(hr_dir / f'im{i}.png')
+    opt = {
+        'name': 'tiny_srgan', 'model': 'srgan', 'scale': 4,
+        'datasets': {'train': {
+            'name': 't', 'mode': 'LRHR', 'dataroot_HR': str(hr_dir),
+            'dataroot_LR': None, 'batch_size': 2, 'patch_size': 64,
+            'n_workers': 0}},
+        'path': {'root': str(tmp_path)},
+        'network_G': {'which_model_G': 'MSRResNet', 'DTE_arch': 0,
+                      'latent_input': 'None', 'latent_channels': 0,
+                      'nf': 8, 'nb': 2, 'in_nc': 3, 'out_nc': 3},
+        'network_D': {'which_model_D': 'discriminator_vgg_128',
+                      'norm_type': 'batch', 'nf': 8, 'in_nc': 3,
+                      'n_layers': 4, 'num_2_strides': 1},
+        'train': {'lr_G': 1e-4, 'lr_D': 1e-4, 'gan_type': 'vanilla',
+                  'gan_weight': 0.005, 'pixel_weight': 0.01,
+                  'pixel_criterion': 'l1', 'niter': 2,
+                  'D_update_ratio': 1, 'lr_steps': [], 'lr_gamma': 0.5},
+    }
+    opt_path = tmp_path / 'srgan.json'
+    opt_path.write_text(_json.dumps(opt))
+    exp = str(tmp_path / 'exp_srgan')
+    from exsr.apps.train_sr import main
+    main(['--opt', str(opt_path), '--hr_dir', str(hr_dir),
+          '--exp_dir', exp, '--print_freq', '1'])
+    from exsr.utils.logging import MetricLog
+    m = MetricLog()
+    m.load(os.path.join(exp, 'logs.npz'))
+    assert m.last('l_d_total') is not None
