@@ -24,31 +24,50 @@ import numpy as np
 
 def build_model(scale: int, nb: int = 23, latent_channels: int = 3,
                 checkpoint: str | None = None,
-                upscale_kernel=None):
+                upscale_kernel=None, arch: str = 'RRDB_net',
+                use_cem: bool = True, nf: int = 64):
+    """``arch``/``use_cem``/``latent_channels`` follow the reference's
+    network_G vocabulary (test_esrgan.json: CEM_arch=0 + latent 0 +
+    RRDB_net; test_esrgan_Feat.json: sr_resnet)."""
     import jax
     import jax.numpy as jnp
     from exsr.cem.cem import CEM, CEMConf, cem_wrap
-    from exsr.models.rrdb import RRDBNet
 
-    cem = CEM.create(CEMConf(scale_factor=scale),
-                     upscale_kernel=upscale_kernel)
-    filt = cem.device_filters(3)
-    g = RRDBNet(nb=nb, upscale=scale, latent_channels=latent_channels)
-    params = g.init(jax.random.PRNGKey(0),
-                    jnp.zeros((1, 16, 16, 3)),
-                    jnp.zeros((1, 16 * scale, 16 * scale, 3))
-                    if latent_channels else None)
+    cem = (CEM.create(CEMConf(scale_factor=scale),
+                      upscale_kernel=upscale_kernel)
+           if use_cem else None)
+    nz = latent_channels
+    if arch in ('MSRResNet', 'sr_resnet'):
+        from exsr.models.classifiers import MSRResNet, SRResNet
+        assert nz == 0, f'{arch} has no latent input'
+        cls = MSRResNet if arch == 'MSRResNet' else SRResNet
+        g = cls(nf=nf, upscale=scale)
+        params = g.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+        g_apply = lambda p, x, z: g.apply(p, x)
+    else:
+        from exsr.models.rrdb import RRDBNet
+        g = RRDBNet(nb=nb, nf=nf, upscale=scale, latent_channels=nz)
+        params = g.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 16, 16, 3)),
+                        jnp.zeros((1, 16 * scale, 16 * scale, nz))
+                        if nz else None)
+        g_apply = lambda p, x, z: g.apply(p, x, z if nz else None)
     if checkpoint:
         from exsr.train.checkpoints import CheckpointManager
         mgr = CheckpointManager(os.path.abspath(checkpoint))
         state = mgr.restore({'g_params': params})
         params = state['g_params']
-    wrapped = cem_wrap(lambda p, x, z: g.apply(p, x, z), filt, upscale=scale)
+    if use_cem:
+        wrapped = cem_wrap(g_apply, cem.device_filters(3), upscale=scale)
 
-    def forward(lr_img: np.ndarray, z_hr: np.ndarray):
-        out = wrapped(params, jnp.asarray(lr_img), jnp.asarray(z_hr),
-                      cem.invalidity_margins_lr, pre_pad=True)
-        return np.asarray(jnp.clip(out, 0.0, 1.0))
+        def forward(lr_img: np.ndarray, z_hr: np.ndarray):
+            out = wrapped(params, jnp.asarray(lr_img), jnp.asarray(z_hr),
+                          cem.invalidity_margins_lr, pre_pad=True)
+            return np.asarray(jnp.clip(out, 0.0, 1.0))
+    else:
+        def forward(lr_img: np.ndarray, z_hr: np.ndarray):
+            out = g_apply(params, jnp.asarray(lr_img), jnp.asarray(z_hr))
+            return np.asarray(jnp.clip(out, 0.0, 1.0))
 
     return cem, forward
 
@@ -81,12 +100,12 @@ def sweep_values(mode: str, num: int, z_range: float = 1.0) -> list:
     return half + [0.0] + [-v for v in half[::-1]]
 
 
-def build_zs(args, hr_hw, rng):
+def build_zs(args, hr_hw, rng, nz: int = 3):
     """Z sample list for the non-optimizer latent modes, plus the index of
     the sample used for PSNR/SSIM (the reference scores the swept-value-0
     sample — test.py:238-242)."""
     h, w = hr_hw
-    shape = (1, h, w, 3)
+    shape = (1, h, w, max(nz, 1))
     if args.latent == 'rand_uniform':
         zs = [np.zeros(shape, np.float32)]
         for _ in range(args.num_z - 1):
@@ -183,6 +202,7 @@ def main(argv=None):
                                  '(test_sr.json dialect) — fills '
                                  'scale/nb/data roots; explicit flags win')
     args = p.parse_args(argv)
+    arch, use_cem, nf, nz = 'RRDB_net', True, 64, 3
     if args.opt:
         from exsr.options.config import parse as parse_opt
         opt = parse_opt(args.opt, is_train=False)
@@ -199,6 +219,30 @@ def main(argv=None):
             first = next(iter(opt['datasets'].values()))
             args.hr_dir = first.get('dataroot_HR')
             args.lr_dir = first.get('dataroot_LR')
+        # the config's generator architecture: plain ESRGAN / SRResNet
+        # variants (test_esrgan.json, test_esrgan_Feat.json) evaluate
+        # without CEM wrap and without Z
+        g_opt = opt['network_G'] or {}
+        arch = g_opt['which_model_G'] or 'RRDB_net'
+        cem_flag = g_opt['CEM_arch']
+        if cem_flag is None:
+            cem_flag = g_opt['DTE_arch']  # pre-rename key
+        use_cem = bool(1 if cem_flag is None else cem_flag)
+        nz_opt = g_opt['latent_channels']
+        if g_opt['latent_input'] == 'None':
+            nz_opt = 0
+        if nz_opt is not None:
+            from exsr.losses.filter_loss import num_latent_channels
+            nz = num_latent_channels(nz_opt)
+        if g_opt['nf']:
+            nf = int(g_opt['nf'])
+    if nz == 0:
+        assert args.latent == 'rand_uniform', \
+            'latent modes need a latent-input generator'
+        args.num_z = 1
+    if not use_cem:
+        assert args.kernel == 'bicubic', \
+            'estimated kernels need the CEM chain'
 
     from exsr.data.datasets import LRHRDataset, LRDataset
     from exsr.utils.metrics import (calculate_psnr, calculate_ssim,
@@ -207,7 +251,9 @@ def main(argv=None):
     from exsr.ops.resize import imresize
 
     cem, forward = build_model(args.scale, args.nb,
-                               checkpoint=args.checkpoint)
+                               latent_channels=nz,
+                               checkpoint=args.checkpoint,
+                               arch=arch, use_cem=use_cem, nf=nf)
     opt_objective = OPTIMIZER_MODES.get(args.latent)
     session = None
     if opt_objective:
@@ -264,8 +310,9 @@ def main(argv=None):
             # test.py:143-148)
             est = kernel_estimator(item['lr'])
             cem_i, fwd = build_model(args.scale, args.nb,
+                                     latent_channels=nz,
                                      checkpoint=args.checkpoint,
-                                     upscale_kernel=est)
+                                     upscale_kernel=est, nf=nf)
         t0 = time.time()
         hr_hw = (lr.shape[1] * args.scale, lr.shape[2] * args.scale)
         rec = {'name': name}
@@ -298,7 +345,7 @@ def main(argv=None):
             rec['final_loss'] = float(res['final_loss'])
         else:
             rng = np.random.default_rng(i)
-            zs, psnr_idx = build_zs(args, hr_hw, rng)
+            zs, psnr_idx = build_zs(args, hr_hw, rng, nz=nz)
             # one batched forward over the Z sweep: v5e convs get markedly
             # more efficient with rows, so the diversity sweep is cheaper
             # as one batch-len(zs) call than sequential batch-1 calls
@@ -316,21 +363,23 @@ def main(argv=None):
             rec['ssim'] = calculate_ssim(
                 crop_border(sr0.astype(np.float64), b),
                 crop_border(gt.astype(np.float64), b))
-        # LR-consistency: downscale(SR) vs LR input (test.py:218-236)
-        down = imresize(outs[psnr_idx][0].astype(np.float64),
-                        1.0 / args.scale)
-        # the guarantee only holds inside the invalidity margins; clamp so
-        # tiny images (interior smaller than the margins) keep >=1 px
-        # instead of producing a mean over an empty slice
-        m = max(int(cem_i.invalidity_margins_lr), 1)
-        m = min(m, (min(down.shape[0], down.shape[1]) - 1) // 2)
-        m = max(m, 1)
-        if down.shape[0] > 2 * m and down.shape[1] > 2 * m:
-            rec['consistency_mae'] = float(
-                np.mean(np.abs(down - item['lr'])[m:-m, m:-m]))
-        # else: LR too small for any interior pixel after the margin
-        # crop — the guarantee has no valid region to measure, so the
-        # metric is omitted rather than reported as a NaN mean
+        # LR-consistency: downscale(SR) vs LR input (test.py:218-236) —
+        # only the CEM-wrapped variants carry the guarantee
+        if use_cem:
+            down = imresize(outs[psnr_idx][0].astype(np.float64),
+                            1.0 / args.scale)
+            # the guarantee only holds inside the invalidity margins;
+            # clamp so tiny images (interior smaller than the margins)
+            # keep >=1 px instead of a mean over an empty slice
+            m = max(int(cem_i.invalidity_margins_lr), 1)
+            m = min(m, (min(down.shape[0], down.shape[1]) - 1) // 2)
+            m = max(m, 1)
+            if down.shape[0] > 2 * m and down.shape[1] > 2 * m:
+                rec['consistency_mae'] = float(
+                    np.mean(np.abs(down - item['lr'])[m:-m, m:-m]))
+            # else: LR too small for any interior pixel after the margin
+            # crop — the guarantee has no valid region to measure, so the
+            # metric is omitted rather than reported as a NaN mean
         if len(outs) > 1:
             stack = np.stack([o[0] for o in outs])
             rec['per_pixel_std'] = float(stack.std(axis=0).mean())
@@ -358,12 +407,12 @@ def main(argv=None):
                 Image.fromarray(
                     (sm * 255).round().astype('uint8')).save(
                     os.path.join(args.out_dir, f'{name}_STDmap.png'))
-        if args.z_sweep_gif > 1:
+        if args.z_sweep_gif > 1 and nz > 0:
             # sweep channel 0 of Z from -1 to 1 (test.py:289-319)
             from PIL import Image
             frames = []
             for v in np.linspace(-1.0, 1.0, args.z_sweep_gif):
-                z = np.zeros((1,) + hr_hw + (3,), np.float32)
+                z = np.zeros((1,) + hr_hw + (nz,), np.float32)
                 z[..., 0] = v
                 frames.append(Image.fromarray(tensor2img(fwd(lr, z))))
             frames[0].save(

@@ -100,6 +100,42 @@ def test_eval_sr_optimizer_modes(img_dir, tmp_path):
     assert s2['avg_consistency_mae'] < 1e-3
 
 
+def test_eval_sr_plain_esrgan_arch(img_dir, tmp_path):
+    """test_esrgan.json-style eval: CEM_arch=0 + latent_input='None' runs
+    the plain Z-less ESRGAN without the CEM wrap (no consistency
+    guarantee, so the metric is omitted); sr_resnet dispatches
+    MSRResNet/SRResNet (test_esrgan_Feat.json)."""
+    import json as _json
+    from exsr.apps import eval_sr
+    opt = {
+        'name': 'e', 'model': 'srragan', 'scale': 4,
+        'datasets': {'test_1': {'name': 's', 'mode': 'LRHR',
+                                'dataroot_HR': img_dir,
+                                'dataroot_LR': None}},
+        'path': {'root': str(tmp_path)},
+        'network_G': {'which_model_G': 'RRDB_net', 'CEM_arch': 0,
+                      'latent_input': 'None', 'latent_channels': 0,
+                      'nf': 8, 'nb': 1, 'in_nc': 3, 'out_nc': 3, 'gc': 4},
+    }
+    p = tmp_path / 'e.json'
+    p.write_text(_json.dumps(opt))
+    out = str(tmp_path / 'oe')
+    s = eval_sr.main(['--opt', str(p), '--out_dir', out,
+                      '--max_images', '1'])
+    assert np.isfinite(s['avg_psnr'])
+    assert 'avg_consistency_mae' not in s   # no CEM -> no guarantee
+    # MSRResNet variant
+    opt['network_G'] = {'which_model_G': 'MSRResNet', 'DTE_arch': 0,
+                        'latent_input': 'None', 'latent_channels': 0,
+                        'nf': 8, 'nb': 2, 'in_nc': 3, 'out_nc': 3}
+    p2 = tmp_path / 'e2.json'
+    p2.write_text(_json.dumps(opt))
+    out2 = str(tmp_path / 'oe2')
+    s2 = eval_sr.main(['--opt', str(p2), '--out_dir', out2,
+                       '--max_images', '1'])
+    assert np.isfinite(s2['avg_psnr'])
+
+
 def test_im_to_z_input():
     """Resize + minmax-normalize + 5x5 edge box smooth
     (util.py:234-247)."""
@@ -148,8 +184,12 @@ def test_eval_sr_reference_opt(img_dir, tmp_path):
                                 'dataroot_HR': img_dir,
                                 'dataroot_LR': None}},
         'path': {'root': str(tmp_path)},
+        # latent_input must be declared: options.py defaults it to 'None'
+        # which (faithfully) collapses latent_channels to 0 — a Z-less
+        # generator has no Z sweep
         'network_G': {'which_model_G': 'RRDB_net', 'nf': 64, 'nb': 1,
-                      'in_nc': 3, 'out_nc': 3, 'gc': 32},
+                      'in_nc': 3, 'out_nc': 3, 'gc': 32,
+                      'latent_input': 'all_layers', 'latent_channels': 3},
     }
     p = tmp_path / 'topt.json'
     p.write_text(_json.dumps(opt))
