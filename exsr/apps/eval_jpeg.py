@@ -108,7 +108,7 @@ def main(argv=None):
         paths = paths[:args.max_images]
     os.makedirs(args.out_dir, exist_ok=True)
     results = []
-    for path in paths:
+    for img_idx, path in enumerate(paths):
         img = read_img(path)
         y = rgb2ycbcr(img.astype(np.float32), only_y=True) * 255.0
         h, w = (y.shape[0] // 8) * 8, (y.shape[1] // 8) * 8
@@ -147,9 +147,14 @@ def main(argv=None):
                 nz = max(1, args.num_z)
                 zshape = comp.shape[:3] + (args.latent_channels,)
                 zs = [np.zeros(zshape, np.float32)]
-                rng = np.random.default_rng(qf)
+                # per-(image, qf) seed: the diversity statistic needs
+                # independent Z draws per image, not one reused set
+                rng = np.random.default_rng(img_idx * 1009 + qf)
                 for _ in range(nz - 1):
-                    zs.append(rng.uniform(-1, 1, zshape)
+                    # spatially-constant per channel like the reference's
+                    # [N, 1, C, 1, 1] draw (test_JPEG.py:140)
+                    v = rng.uniform(-1, 1, (1, 1, 1, zshape[-1]))
+                    zs.append(np.broadcast_to(v, zshape)
                               .astype(np.float32))
                 z = jnp.asarray(np.concatenate(zs, 0))
                 comp_b = jnp.repeat(comp, nz, 0)

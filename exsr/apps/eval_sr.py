@@ -41,7 +41,7 @@ def build_model(scale: int, nb: int = 23, latent_channels: int = 3,
         from exsr.models.classifiers import MSRResNet, SRResNet
         assert nz == 0, f'{arch} has no latent input'
         cls = MSRResNet if arch == 'MSRResNet' else SRResNet
-        g = cls(nf=nf, upscale=scale)
+        g = cls(nf=nf, nb=nb, upscale=scale)
         params = g.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
         g_apply = lambda p, x, z: g.apply(p, x)
     else:
@@ -94,7 +94,9 @@ def sweep_values(mode: str, num: int, z_range: float = 1.0) -> list:
     optional = np.arange(-2.0, 0.0, 0.001)
     keep = np.argwhere(norm.cdf(optional) >= (1 - z_range) / 2)
     optional = optional[int(keep[0][0]):]
-    n_half = max(int((num - 1) / 2), 1)
+    n_half = int((num - 1) / 2)
+    if n_half == 0:       # num <= 2 -> just the 0 sample (test.py:105-113)
+        return [0.0]
     half = [float(optional[int(i * len(optional) / n_half)])
             for i in range(n_half)]
     return half + [0.0] + [-v for v in half[::-1]]
@@ -107,9 +109,13 @@ def build_zs(args, hr_hw, rng, nz: int = 3):
     h, w = hr_hw
     shape = (1, h, w, max(nz, 1))
     if args.latent == 'rand_uniform':
+        # spatially-constant per channel, like the reference's
+        # [N, 1, C, 1, 1] draw (test.py:117) — the diversity stats
+        # measure global latent shifts, not spatial noise
         zs = [np.zeros(shape, np.float32)]
         for _ in range(args.num_z - 1):
-            zs.append(rng.uniform(-1, 1, size=shape).astype(np.float32))
+            v = rng.uniform(-1, 1, size=(1, 1, 1, shape[-1]))
+            zs.append(np.broadcast_to(v, shape).astype(np.float32))
         return zs, 0
     if args.latent in ('uniform_sweep', 'gaussian_sweep'):
         vals = sweep_values(args.latent, args.num_z)
@@ -122,6 +128,7 @@ def build_zs(args, hr_hw, rng, nz: int = 3):
     if args.latent == 'unit_circle':
         # theta sweep mapped onto channels (1, 2) as (cos, sin)
         # (test.py:126-128 pol2cart)
+        assert nz >= 3, 'unit_circle needs a 3-channel latent'
         thetas = np.linspace(0.0, 2 * np.pi * (args.num_z - 1)
                              / max(args.num_z, 1), args.num_z)
         zs = []
@@ -133,6 +140,8 @@ def build_zs(args, hr_hw, rng, nz: int = 3):
         return zs, 0
     if args.latent == 'z_image':
         assert args.z_image, '--latent z_image needs --z_image'
+        assert nz in (1, 3), \
+            'z_image supports 1- or 3-channel latents (test.py:182)'
         from PIL import Image
         from exsr.utils.misc import im_to_z_input
         paths = ([os.path.join(args.z_image, f)
@@ -140,7 +149,7 @@ def build_zs(args, hr_hw, rng, nz: int = 3):
                  if os.path.isdir(args.z_image) else [args.z_image])
         zs = [im_to_z_input(
             np.asarray(Image.open(p).convert('RGB'), np.float32) / 255.0,
-            (h, w))[None] for p in paths]
+            (h, w), single_channel=nz == 1)[None] for p in paths]
         return zs, 0
     raise ValueError(args.latent)
 
@@ -250,17 +259,26 @@ def main(argv=None):
     from exsr.utils.color import tensor2img
     from exsr.ops.resize import imresize
 
+    # in the optimizer modes the EditSession is the scoring model; the
+    # build_model generator only serves the optional --z_sweep_gif, so
+    # skip its (second) checkpoint restore unless that path is active
+    _opt_only = OPTIMIZER_MODES.get(args.latent) and not args.z_sweep_gif
     cem, forward = build_model(args.scale, args.nb,
                                latent_channels=nz,
-                               checkpoint=args.checkpoint,
+                               checkpoint=None if _opt_only
+                               else args.checkpoint,
                                arch=arch, use_cem=use_cem, nf=nf)
     opt_objective = OPTIMIZER_MODES.get(args.latent)
     session = None
     if opt_objective:
         assert args.kernel != 'estimated', \
             'optimizer latent modes use the bicubic CEM'
+        assert use_cem and arch == 'RRDB_net', \
+            'optimizer latent modes need the CEM-wrapped explorable ' \
+            'RRDB generator'
         from exsr.apps.session import EditSession
-        session = EditSession(scale=args.scale, nb=args.nb)
+        session = EditSession(scale=args.scale, nb=args.nb, nf=nf,
+                              latent_channels=nz)
         session.init_random_params(0)
         if args.checkpoint:
             from exsr.train.checkpoints import CheckpointManager
@@ -383,7 +401,7 @@ def main(argv=None):
         if len(outs) > 1:
             stack = np.stack([o[0] for o in outs])
             rec['per_pixel_std'] = float(stack.std(axis=0).mean())
-            if 'hr' in item:
+            if 'hr' in item and use_cem:
                 # GT high-frequency STD vs SR high-frequency STD across
                 # the Z samples — the reference's 'stats' diversity
                 # measure (test.py:218-236,281-287): the orthogonal-to-

@@ -63,6 +63,7 @@ def _bucket(lo: int, hi: int, size: int, bucket: int) -> tuple[int, int]:
 class EditSession:
     scale: int = 4
     nb: int = 23
+    nf: int = 64
     latent_channels: int = 3
     z_range: float = 1.0
     time_budget_s: float = DEFAULT_TIME_BUDGET_S
@@ -76,7 +77,8 @@ class EditSession:
     def __post_init__(self):
         self._build_cem(None)
         from exsr.models.rrdb import RRDBNet
-        self.generator = RRDBNet(nb=self.nb, upscale=self.scale,
+        self.generator = RRDBNet(nb=self.nb, nf=self.nf,
+                                 upscale=self.scale,
                                  latent_channels=self.latent_channels,
                                  dtype=self.edit_dtype)
         self.params = None
