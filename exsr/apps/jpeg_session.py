@@ -68,9 +68,13 @@ class JPEGEditSession:
         (USE_Y_GENERATOR_4_CHROMA semantics, DecompCNN_model.py:23,
         711-729) instead of the input chroma planes."""
         from exsr.jpeg.codec import JPEGCodec
+        # low-freq-only chroma head (out 2x64, NO_HIGH_FREQ_CHROMA_
+        # RECONSTRUCTION — DecompCNN_model.py:24), matching what
+        # ChromaDecompTrainer trains so `train_jpeg --chroma` checkpoints
+        # load directly
         self.chroma_generator = DnCNN(DnCNNConfig(
             n_channels=nf, depth=nb, in_nc=256 + 128,
-            out_nc=2 * 16 * 16, chroma_generator=True, block_size=16,
+            out_nc=2 * 64, chroma_generator=True, block_size=8,
             num_latent_channels=0))
         self.chroma_params = gc_params
         self.codec_chroma = JPEGCodec(chroma_mode=True, block_size=16)

@@ -34,7 +34,20 @@ def main(argv=None):
     p.add_argument('--ckpt_freq', type=int, default=1000)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--resume', action='store_true')
+    p.add_argument('--chroma', action='store_true',
+                   help='train the explorable-chroma generator conditioned '
+                        'on a (frozen) Y generator — the reference '
+                        'ModelChroma phase (train_JPEG.py, '
+                        'DecompCNN_model.py:379-383,711-729)')
+    p.add_argument('--y_ckpt',
+                   help='trained Y-generator checkpoint to condition the '
+                        'chroma model on (train_jpeg / export_g dir); '
+                        'seeded random Y weights when omitted')
+    p.add_argument('--y_latent_channels', type=int, default=64,
+                   help='latent width of the conditioning Y generator')
     args = p.parse_args(argv)
+    if args.chroma:
+        return _main_chroma(args)
 
     import jax
     import jax.numpy as jnp
@@ -200,6 +213,158 @@ def main(argv=None):
     mlog.save(log_path)
     mlog.dashboard(os.path.join(args.exp_dir, 'dashboards'))
     print('JPEG training done at step', ctl.step)
+
+
+def _main_chroma(args):
+    """Chroma phase: train the 2x64 low-freq chroma generator conditioned
+    on the (frozen) Y generator with mixed real/fake Y for the critic —
+    train_JPEG.py ModelChroma variant, DecompCNN_model.py:379-383,
+    711-729."""
+    import jax
+    import jax.numpy as jnp
+    from exsr.models.dncnn import DnCNN, DnCNNConfig, DnCNNDiscriminator
+    from exsr.train.decomp import DecompConfig
+    from exsr.train.decomp_chroma import ChromaDecompTrainer
+    from exsr.train.srragan import flax_d_adapter
+    from exsr.train.checkpoints import CheckpointManager
+    from exsr.data.datasets import JPEGDataset, DataLoader
+    from exsr.utils.logging import MetricLog
+    from exsr.utils.metrics import calculate_psnr
+
+    cfg = DecompConfig(patch_size=args.patch, latent_channels=0,
+                       chroma_mode=True, niter=args.niter)
+    ylat = args.y_latent_channels
+    gy = DnCNN(DnCNNConfig(n_channels=args.nf, depth=args.nb,
+                           num_latent_channels=ylat))
+    gy_vars = dict(gy.init(jax.random.PRNGKey(args.seed + 7),
+                           jnp.zeros((1, 8, 8, 64)),
+                           jnp.zeros((1, 8, 8, ylat)) if ylat else None))
+    if args.y_ckpt:
+        from exsr.models.convert import align_params_to
+        mgr_y = CheckpointManager(os.path.abspath(args.y_ckpt))
+        raw = mgr_y.restore_raw(mgr_y.latest_step())
+        gy_vars = jax.tree.map(jnp.asarray,
+                               align_params_to(gy_vars, raw['g_params']))
+        print(f'conditioning on Y generator from {args.y_ckpt}')
+    else:
+        print('no --y_ckpt: conditioning on RANDOM Y weights '
+              '(pipeline checks only)')
+
+    def gy_apply(coeffs, _z):
+        z = jnp.zeros(coeffs.shape[:3] + (ylat,)) if ylat else None
+        if 'batch_stats' in gy_vars:
+            out, _ = gy.apply(gy_vars, coeffs, z, train=False,
+                              mutable=['batch_stats'])
+            return out
+        return gy.apply(gy_vars, coeffs, z)
+
+    gc = DnCNN(DnCNNConfig(n_channels=args.nf, depth=args.nb,
+                           in_nc=256 + 128, out_nc=2 * 64,
+                           chroma_generator=True, block_size=8,
+                           num_latent_channels=0))
+    hb16 = args.patch // 16
+    packed0 = jnp.zeros((1, hb16, hb16, 256 + 128))
+    gc_vars = dict(gc.init(jax.random.PRNGKey(args.seed), packed0, None))
+    d = DnCNNDiscriminator(n_channels=args.nf, depth=args.nb,
+                           expected_input_size=hb16, norm='layer')
+    d_vars = dict(d.init(jax.random.PRNGKey(args.seed + 1), packed0))
+
+    def gc_apply(params, packed, _z):
+        if 'batch_stats' in params:
+            out, _ = gc.apply(params, packed, None, train=True,
+                              mutable=['batch_stats'])
+            return out
+        return gc.apply(params, packed, None)
+
+    def gc_stats_apply(params, packed, _z):
+        out, mut = gc.apply(params, packed, None, train=True,
+                            mutable=['batch_stats'])
+        return out, mut['batch_stats']
+
+    trainer = ChromaDecompTrainer(
+        cfg, gy_apply, gc_apply, flax_d_adapter(d),
+        g_stats_apply=gc_stats_apply if 'batch_stats' in gc_vars
+        else None)
+    state = trainer.init_state(gc_vars, d_vars,
+                               jax.random.PRNGKey(args.seed + 2))
+    os.makedirs(args.exp_dir, exist_ok=True)
+    mlog = MetricLog()
+    log_path = os.path.join(args.exp_dir, 'logs.npz')
+    ckpts = CheckpointManager(os.path.abspath(
+        os.path.join(args.exp_dir, 'ckpt')), max_to_keep=3,
+        save_interval_steps=args.ckpt_freq)
+    step = 0
+    if args.resume and ckpts.latest_step() is not None:
+        state = ckpts.restore(state)
+        step = int(state.step)
+        if os.path.exists(log_path):
+            mlog.load(log_path, max_step=step)
+        print('resumed at step', step)
+
+    ds = JPEGDataset(root=args.data_dir, patch_size=args.patch,
+                     chroma=True,
+                     qf_spec=(((args.qf_min, args.qf_max), 1.0),),
+                     train=True)
+    loader = DataLoader(ds, batch_size=args.batch, seed=args.seed)
+    val_ds = None
+    if args.val_dir:
+        val_ds = JPEGDataset(root=args.val_dir, patch_size=args.patch,
+                             chroma=True,
+                             qf_spec=(((args.qf_min, args.qf_max), 1.0),),
+                             train=False)
+    decode = jax.jit(trainer._decode)
+
+    def validate():
+        """CbCr PSNR of the chroma decode (conditioned on the Y
+        generator's output, mix off) vs the uncompressed chroma."""
+        psnrs = []
+        for i in range(min(len(val_ds), 8)):
+            item = val_ds[i]
+            ycbcr = jnp.asarray(item['uncomp'][None])
+            qf = jnp.asarray([float(item['qf'])])
+            y_cond, _ = trainer._fake_y(ycbcr[..., :1], qf,
+                                        jax.random.PRNGKey(0), mix=False)
+            packed, _, _ = trainer._chroma_inputs(ycbcr, y_cond, qf)
+            chroma = np.asarray(jnp.clip(
+                decode(state.gc_params, packed, qf), 0, 255))
+            psnrs.append(calculate_psnr(
+                chroma[0], np.asarray(ycbcr)[0, :, :, 1:]))
+        rec = {'step': step,
+               'psnr_chroma_val': round(float(np.mean(psnrs)), 4)}
+        print(json.dumps(rec))
+        mlog.append(step, psnr_chroma_val=rec['psnr_chroma_val'])
+
+    t0 = time.time()
+    epoch = 0
+    log_accum = {}
+    while step < cfg.niter:
+        for batch in loader.epoch(epoch):
+            if step >= cfg.niter:
+                break
+            b = {'uncomp': jnp.asarray(batch['uncomp']),
+                 'qf': jnp.asarray(batch['qf'])}
+            state, metrics = trainer.step_fn(state, b, use_gan=True)
+            log_accum.update({k: float(v) for k, v in metrics.items()
+                              if np.ndim(v) == 0})
+            step = int(state.step)
+            if step % args.print_freq == 0:
+                rate = args.print_freq / max(time.time() - t0, 1e-9)
+                t0 = time.time()
+                print(json.dumps({'step': step,
+                                  'steps_per_s': round(rate, 3),
+                                  **{k: round(v, 5)
+                                     for k, v in log_accum.items()}}))
+                mlog.append(step, **log_accum)
+                mlog.save(log_path)
+            if val_ds is not None and step % args.val_freq == 0:
+                validate()
+            ckpts.save(step, state)
+        epoch += 1
+    ckpts.save(step, state, force=True)
+    ckpts.wait()
+    mlog.save(log_path)
+    mlog.dashboard(os.path.join(args.exp_dir, 'dashboards'))
+    print('chroma training done at step', step)
 
 
 if __name__ == '__main__':

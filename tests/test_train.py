@@ -500,3 +500,44 @@ def test_train_sr_cli_msrresnet_srgan(tmp_path):
     m = MetricLog()
     m.load(os.path.join(exp, 'logs.npz'))
     assert m.last('l_d_total') is not None
+
+
+@pytest.mark.slow
+def test_train_jpeg_chroma_cli(tmp_path):
+    """train_jpeg --chroma end-to-end: the ModelChroma phase
+    (train_JPEG.py variant collapse; DecompCNN_model.py:379-383) trains
+    the low-freq chroma generator, and the resulting checkpoint loads
+    straight into JPEGEditSession.attach_chroma for trained-chroma
+    decoding."""
+    import json as _json
+    import os
+    from PIL import Image
+    rng = np.random.default_rng(7)
+    d = tmp_path / 'imgs'
+    d.mkdir()
+    for i in range(3):
+        arr = (rng.uniform(size=(64, 64, 3)) * 255).astype('uint8')
+        Image.fromarray(arr).save(d / f'im{i}.png')
+    exp = str(tmp_path / 'exp_chroma')
+    from exsr.apps.train_jpeg import main
+    main(['--data_dir', str(d), '--val_dir', str(d), '--chroma',
+          '--patch', '32', '--batch', '2', '--nf', '8', '--nb', '2',
+          '--niter', '2', '--exp_dir', exp, '--print_freq', '1',
+          '--val_freq', '2', '--ckpt_freq', '1'])
+    from exsr.utils.logging import MetricLog
+    m = MetricLog()
+    m.load(os.path.join(exp, 'logs.npz'))
+    assert m.last('l_g_pix') is not None
+    assert m.last('psnr_chroma_val') is not None
+    # the trained chroma checkpoint plugs into the session
+    from exsr.train.checkpoints import CheckpointManager
+    from exsr.apps.jpeg_session import JPEGEditSession
+    raw = CheckpointManager(os.path.join(exp, 'ckpt')).restore_raw()
+    s = JPEGEditSession(nf=8, nb=2, qf=20)
+    s.init_random_params(0)
+    img = rng.uniform(size=(48, 48, 3)).astype(np.float32)
+    s.open_image(img)
+    s.attach_chroma(raw['gc_params'], nf=8, nb=2)
+    cbcr = s.decode_chroma()
+    assert cbcr.shape == (48, 48, 2)
+    assert np.isfinite(cbcr).all()
