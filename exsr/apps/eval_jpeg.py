@@ -47,6 +47,11 @@ def main(argv=None):
     p.add_argument('--num_z_iters', type=int, default=250,
                    help='Z-optimization iterations for the optimizer '
                         'modes (test_JPEG.py NUM_Z_ITERS)')
+    p.add_argument('--z_sweep_gif', type=int, default=0, metavar='N',
+                   help='export an N-frame GIF sweeping the first '
+                        '3-channel Z control from -1 to 1 per image '
+                        "(test_JPEG.py TEST_TYPE='GIF'; 64-channel Z via "
+                        'Repeat_Z_3_channels, DecompCNN_model.py:293-314)')
     args = p.parse_args(argv)
 
     import jax
@@ -169,6 +174,28 @@ def main(argv=None):
                     # pixel-space diversity across the Z samples
                     # (test_JPEG.py stats: per-pixel STD of decodings)
                     rec['per_pixel_std'] = float(out.std(axis=0).mean())
+            if (args.z_sweep_gif > 1 and g_vars is not None
+                    and args.latent_channels > 0 and not opt_objective):
+                # sweep the first 3-channel Z control from -1 to 1
+                # (test_JPEG.py TEST_TYPE='GIF')
+                from PIL import Image as PILImage
+                from exsr.train.decomp import repeat_z_3_channels
+                frames = []
+                for v in np.linspace(-1.0, 1.0, args.z_sweep_gif):
+                    z3 = jnp.zeros((1, 1, 1, 3)).at[..., 0].set(float(v))
+                    z64 = jnp.broadcast_to(
+                        repeat_z_3_channels(z3, args.latent_channels),
+                        comp.shape[:3] + (args.latent_channels,))
+                    fr, _ = decode(g_vars, comp, z64, qf_arr)
+                    frames.append(PILImage.fromarray(np.clip(
+                        np.asarray(fr)[0, ..., 0], 0, 255)
+                        .astype(np.uint8)))
+                gname = os.path.splitext(os.path.basename(path))[0]
+                frames[0].save(
+                    os.path.join(args.out_dir,
+                                 f'{gname}_qf{qf}_Zsweep.gif'),
+                    save_all=True, append_images=frames[1:],
+                    duration=150, loop=0)
             results.append(rec)
             print(json.dumps(rec))
     summary = {}

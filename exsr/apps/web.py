@@ -1193,6 +1193,9 @@ def main(argv=None):
                         'artifact editing) instead of the SR session')
     p.add_argument('--qf', type=int, default=10,
                    help='JPEG quality factor (jpeg mode)')
+    p.add_argument('--chroma_checkpoint',
+                   help='trained chroma-generator checkpoint for the JPEG '
+                        "mode's color view (train_jpeg --chroma output)")
     p.add_argument('--esrgan', action='store_true',
                    help="serve the plain-ESRGAN comparison view "
                         "(the GUI's display_ESRGAN slot, GUI.py:2539-2550)")
@@ -1223,6 +1226,14 @@ def main(argv=None):
                 {'g_params': template})['g_params'])
         else:
             session.init_random_params(0)
+        if args.chroma_checkpoint:
+            # trained-chroma decode: CbCr reconstructed by the chroma
+            # generator conditioned on the edited Y (train_jpeg --chroma)
+            import os
+            from exsr.train.checkpoints import CheckpointManager
+            raw = CheckpointManager(os.path.abspath(
+                args.chroma_checkpoint)).restore_raw()
+            session.attach_chroma(raw['gc_params'])
         if args.image:
             from PIL import Image
             img = np.asarray(Image.open(args.image).convert('RGB')) / 255.0

@@ -154,12 +154,15 @@ def test_eval_jpeg_cli(img_dir, tmp_path):
     from exsr.apps import eval_jpeg
     out = str(tmp_path / 'outj')
     eval_jpeg.main(['--data_dir', img_dir, '--qf', '10', '--nf', '16',
-                    '--nb', '3', '--out_dir', out, '--num_z', '3'])
+                    '--nb', '3', '--out_dir', out, '--num_z', '3',
+                    '--z_sweep_gif', '2'])
     summary = json.load(open(os.path.join(out, 'summary.json')))['summary']
     assert np.isfinite(summary['avg_psnr_jpeg'])
     assert np.isfinite(summary['avg_psnr_decomp'])
     # random-Z diversity sweep (test_JPEG.py:135-140)
     assert summary['avg_per_pixel_std'] >= 0
+    # Z-sweep GIF export (test_JPEG.py TEST_TYPE='GIF')
+    assert any(f.endswith('_Zsweep.gif') for f in os.listdir(out))
 
 
 def test_eval_jpeg_optimizer_latent(img_dir, tmp_path):
