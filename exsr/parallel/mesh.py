@@ -79,6 +79,23 @@ class ShardingRules:
     def replicate(self, tree: Any) -> Any:
         return jax.device_put(tree, self.replicated)
 
+    def shard_host_batch(self, local_batch: Any) -> Any:
+        """Assemble per-host batch slices into global arrays — the
+        host-parallel input pipeline (each process loads only its
+        ``local_batch_slice`` of the global batch and contributes it via
+        ``jax.make_array_from_process_local_data``).  Single-process it
+        degenerates to :meth:`shard_batch`."""
+        if jax.process_count() == 1:
+            return self.shard_batch(local_batch)
+
+        def put(x):
+            import numpy as _np
+            sh = (self.batch if getattr(x, 'ndim', 0) == 4
+                  else self.replicated)
+            return jax.make_array_from_process_local_data(
+                sh, _np.asarray(x))
+        return jax.tree.map(put, local_batch)
+
 
 def local_batch_slice(global_batch: int, process_index: int | None = None,
                       process_count: int | None = None) -> slice:
