@@ -15,6 +15,7 @@ markers.  Progressive (SOF2) and arithmetic-coded files raise
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -106,6 +107,7 @@ class _Huffman:
     """Canonical Huffman table (T.81 annex C) with incremental decode."""
 
     def __init__(self, counts, symbols):
+        self.counts = counts       # raw table, for the native decoder
         self.maxcode = {}
         self.mincode = {}
         self.valptr = {}
@@ -252,6 +254,39 @@ def _decode_scan(data, pos, frame, scan, q_tables, huff_dc, huff_ac,
         bw, bh = mcus_x * c['h'], mcus_y * c['v']
         planes.append(np.zeros((bh, bw, 64), np.int32))
 
+    def assemble():
+        comps = []
+        for ci, s in enumerate(scan):
+            c = s['comp']
+            comps.append(ComponentPlane(
+                coeffs=planes[ci],
+                q_table=q_tables[c['tq']],
+                sampling=(c['h'], c['v'])))
+        return {'width': frame['w'], 'height': frame['h'],
+                'components': comps}
+
+    if os.environ.get('EXSR_PURE_JFIF') != '1':
+        # native C++ scan loop (exsr/native/jfif_scan.cpp) — the same
+        # algorithm byte-exactly, ~2 orders of magnitude faster than the
+        # Python bit reader; falls through to Python when no compiler
+        from exsr.native import jfif_native
+        if jfif_native.available():
+            rc = jfif_native.decode_scan(
+                data, pos,
+                [s['comp']['h'] for s in scan],
+                [s['comp']['v'] for s in scan],
+                [(huff_dc[s['dc']].counts, huff_dc[s['dc']].symbols)
+                 for s in scan],
+                [(huff_ac[s['ac']].counts, huff_ac[s['ac']].symbols)
+                 for s in scan],
+                mcus_x, mcus_y, restart_interval, planes)
+            if rc == 0:
+                return assemble()
+            raise UnsupportedJPEGError(
+                {1: 'bad Huffman code', 2: 'AC overrun',
+                 3: 'expected restart marker'}.get(
+                    rc, f'native decode error {rc}'))
+
     br = _BitReader(data, pos)
     preds = [0] * len(scan)
     mcu_index = 0
@@ -290,15 +325,7 @@ def _decode_scan(data, pos, frame, scan, q_tables, huff_dc, huff_ac,
                         # zigzag -> natural row-major order
                         planes[ci][row, col][ZIGZAG] = blk
 
-    comps = []
-    for ci, s in enumerate(scan):
-        c = s['comp']
-        comps.append(ComponentPlane(
-            coeffs=planes[ci],
-            q_table=q_tables[c['tq']],
-            sampling=(c['h'], c['v'])))
-    return {'width': frame['w'], 'height': frame['h'],
-            'components': comps}
+    return assemble()
 
 
 def load_jpeg_coefficients(path: str) -> dict:

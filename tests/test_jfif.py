@@ -207,3 +207,34 @@ def test_trained_chroma_real_file_uses_full_range_inverse(tmp_path):
     # near the decode: a studio-swing inverse here errs ~0.08+ on this
     # mid-gray-ish image; the correct full-range path stays close
     assert np.abs(rgb - ref).mean() <= 0.06
+
+
+def test_native_scan_decoder_bit_exact(monkeypatch):
+    """The C++ scan decoder (exsr/native/jfif_scan.cpp) reproduces the
+    Python bit reader exactly across color/gray/4:4:4/restart-marker
+    baselines — same coefficients, same Q tables."""
+    from exsr.native import jfif_native
+    if not jfif_native.available():
+        pytest.skip('no C++ toolchain')
+    rng = np.random.default_rng(11)
+    img = (rng.uniform(size=(96, 80, 3)) * 255).astype(np.uint8)
+    img = ((img.astype(int) + np.roll(img, 1, 0) + np.roll(img, 1, 1))
+           // 3).astype(np.uint8)
+    cases = [_encode(img, 90, 2), _encode(img, 25, 2),
+             _encode(img, 60, 0), _encode(img[:, :, 0], 75, 0)]
+    try:
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format='JPEG', quality=80,
+                                  restart_marker_rows=1)
+        cases.append(buf.getvalue())
+    except TypeError:
+        pass  # older PIL without restart marker control
+    for data in cases:
+        monkeypatch.setenv('EXSR_PURE_JFIF', '1')
+        ref = decode_jfif(data)
+        monkeypatch.setenv('EXSR_PURE_JFIF', '0')
+        nat = decode_jfif(data)
+        assert len(ref['components']) == len(nat['components'])
+        for a, b in zip(ref['components'], nat['components']):
+            np.testing.assert_array_equal(a.coeffs, b.coeffs)
+            np.testing.assert_array_equal(a.q_table, b.q_table)
