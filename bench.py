@@ -21,6 +21,32 @@ import sys
 import time
 
 
+def _watchdog(seconds: float):
+    """Emit an honest failure line and exit if the backend never comes up.
+
+    A killed-mid-compile TPU job can wedge the remote executor so that
+    every subsequent device op hangs forever (see
+    .claude/skills/verify/SKILL.md); a hung bench is worse than a failed
+    one, so a daemon timer aborts with a diagnostic JSON line unless the
+    device probe finishes in time.  The timer is cancelled before the
+    first (legitimately slow) big compile starts.
+    """
+    import threading
+
+    def boom():
+        print(json.dumps({
+            'metric': 'sr4x_throughput_128px', 'value': 0.0,
+            'unit': 'img/s/chip', 'vs_baseline': 0.0,
+            'error': f'device probe unresponsive after {seconds:.0f}s '
+                     '(wedged TPU executor?)'}), flush=True)
+        import os
+        os._exit(2)
+    t = threading.Timer(seconds, boom)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     import os
 
@@ -41,6 +67,13 @@ def main():
     LR_SIZE = 128
     SCALE = 4
     N_ITERS = 8
+
+    # tiny device probe under a watchdog: a wedged remote executor hangs
+    # every op forever — fail fast with a diagnostic instead
+    wd = _watchdog(300.0)
+    x = jnp.ones((64, 64))
+    float((x @ x).mean())
+    wd.cancel()
 
     cem = CEM.create(CEMConf(scale_factor=SCALE))
     filt = cem.device_filters(3)  # separable 1-D CEM filter chain
