@@ -21,7 +21,8 @@ import sys
 import time
 
 
-def _watchdog(seconds: float):
+def _watchdog(seconds: float, metric: str = 'sr4x_throughput_128px',
+              unit: str = 'img/s/chip'):
     """Emit an honest failure line and exit if the backend never comes up.
 
     A killed-mid-compile TPU job can wedge the remote executor so that
@@ -35,8 +36,8 @@ def _watchdog(seconds: float):
 
     def boom():
         print(json.dumps({
-            'metric': 'sr4x_throughput_128px', 'value': 0.0,
-            'unit': 'img/s/chip', 'vs_baseline': 0.0,
+            'metric': metric, 'value': 0.0,
+            'unit': unit, 'vs_baseline': 0.0,
             'error': f'device probe unresponsive after {seconds:.0f}s '
                      '(wedged TPU executor?)'}), flush=True)
         import os

@@ -23,6 +23,13 @@ def main(out_path: str | None = None):
     import numpy as np
     import jax.numpy as jnp
     from exsr.apps.session import EditSession
+    # fail fast (with a diagnostic) instead of hanging when the remote
+    # TPU executor is wedged — see bench.py._watchdog
+    from bench import _watchdog
+    wd = _watchdog(300.0, metric='z_edit_step_latency', unit='ms')
+    x = jnp.ones((64, 64))
+    float((x @ x).mean())
+    wd.cancel()
     out_path = out_path or (sys.argv[1] if len(sys.argv) > 1 else None)
     records = []
 
