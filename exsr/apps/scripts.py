@@ -232,21 +232,39 @@ def transfer_files(source_dir: str, target_dir: str,
 
 def convert_torch_g(pth: str, out_dir: str, nb: int = 23,
                     latent_channels: int = 3, scale: int = 4,
-                    nf: int = 64, gc: int = 32):
+                    nf: int = 64, gc: int = 32, arch: str = 'rrdb'):
     """Reference G checkpoint (.pth) -> orbax checkpoint consumable by
     ``eval_sr --checkpoint`` / ``web --checkpoint`` (the reference user's
-    migration path; base_model.py:128-190 load semantics)."""
+    migration path; base_model.py:128-190 load semantics).  ``arch``:
+    'rrdb' (ESRGAN/explorable) or 'msrresnet' (train_srgan.json's
+    MSRResNet, architecture.py:18-66)."""
     import os
 
     import jax
     import jax.numpy as jnp
 
     from exsr.models.convert import (align_params_to, convert_esrgan_rrdb,
+                                     convert_msrresnet,
                                      load_torch_checkpoint)
     from exsr.models.rrdb import RRDBNet
     from exsr.train.checkpoints import CheckpointManager
 
     state = load_torch_checkpoint(pth)
+    if arch == 'msrresnet':
+        from exsr.models.classifiers import MSRResNet
+        assert latent_channels == 0, 'MSRResNet has no latent input'
+        converted = convert_msrresnet(state, nf=nf, nb=nb, upscale=scale)
+        g = MSRResNet(nf=nf, nb=nb, upscale=scale)
+        template = g.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 16, 16, 3)))
+        params = align_params_to(template, jax.tree.map(jnp.asarray,
+                                                        converted))
+        mgr = CheckpointManager(os.path.abspath(out_dir))
+        mgr.save(0, {'g_params': params}, force=True)
+        mgr.wait()
+        n = sum(x.size for x in jax.tree.leaves(params))
+        print(f'converted {pth} -> {out_dir} ({n:,} params)')
+        return
     converted = convert_esrgan_rrdb(state, nb=nb,
                                     latent_channels=latent_channels)
     g = RRDBNet(nb=nb, nf=nf, gc=gc, upscale=scale,
@@ -390,6 +408,11 @@ def main(argv=None):
     s.add_argument('--scale', type=int, default=4)
     s.add_argument('--nf', type=int, default=64)
     s.add_argument('--gc', type=int, default=32)
+    s.add_argument('--arch', choices=['rrdb', 'msrresnet'],
+                   default='rrdb',
+                   help="generator family: 'rrdb' (ESRGAN/explorable) or "
+                        "'msrresnet' (train_srgan.json); msrresnet "
+                        'requires --latent_channels 0')
     s = sub.add_parser('psnr_ssim')
     s.add_argument('--gt_dir', required=True)
     s.add_argument('--gen_dir', required=True)
@@ -429,7 +452,7 @@ def main(argv=None):
         transfer_files(args.source_dir, args.target_dir, args.pattern)
     elif args.cmd == 'convert_torch_g':
         convert_torch_g(args.pth, args.out, args.nb, args.latent_channels,
-                        args.scale, args.nf, args.gc)
+                        args.scale, args.nf, args.gc, args.arch)
     elif args.cmd == 'psnr_ssim':
         psnr_ssim(args.gt_dir, args.gen_dir, args.crop_border,
                   args.y_only, args.suffix)

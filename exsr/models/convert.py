@@ -140,3 +140,43 @@ def align_params_to(template, converted):
         return np.asarray(b, dtype=np.asarray(a).dtype)
 
     return jax.tree_util.tree_map_with_path(check, template, converted)
+
+
+def _conv_hwio_entry(state: dict, key: str) -> dict:
+    w = np.asarray(state[f'{key}.weight'])
+    return {'kernel': _oihw_to_hwio(w),
+            'bias': np.asarray(state[f'{key}.bias'])}
+
+
+def convert_msrresnet(state: dict, nf: int = 64, nb: int = 16,
+                      upscale: int = 4) -> dict:
+    """Torch MSRResNet state dict -> flax MSRResNet params
+    (architecture.py:18-66; keys conv_first / recon_trunk.<i>.conv1|2 /
+    upconv<k> / HRconv / conv_last).
+
+    Torch ``PixelShuffle`` expects output channels grouped as (C, r, r)
+    while the flax pixel shuffle in classifiers.MSRResNet decomposes them
+    as (r, r, C), so each upconv's output channels (kernel + bias) are
+    permuted accordingly.
+    """
+    state = {k.replace('module.', ''): v for k, v in state.items()}
+    p = {'conv_first': _conv_hwio_entry(state, 'conv_first')}
+    for i in range(nb):
+        p[f'rb{i}_conv1'] = _conv_hwio_entry(state,
+                                             f'recon_trunk.{i}.conv1')
+        p[f'rb{i}_conv2'] = _conv_hwio_entry(state,
+                                             f'recon_trunk.{i}.conv2')
+    n_up = 1 if upscale == 3 else int(np.log2(upscale))
+    f = 3 if upscale == 3 else 2
+    for u in range(n_up):
+        w = np.asarray(state[f'upconv{u + 1}.weight'])
+        b = np.asarray(state[f'upconv{u + 1}.bias'])
+        o = w.shape[0]
+        c = o // (f * f)
+        # flax slot a*f*C + b*C + ch holds torch channel ch*f*f + a*f + b
+        idx = np.arange(o).reshape(c, f, f).transpose(1, 2, 0).reshape(-1)
+        p[f'upconv{u + 1}'] = {'kernel': _oihw_to_hwio(w[idx]),
+                               'bias': b[idx]}
+    p['HRconv'] = _conv_hwio_entry(state, 'HRconv')
+    p['conv_last'] = _conv_hwio_entry(state, 'conv_last')
+    return {'params': p}

@@ -559,3 +559,64 @@ def test_dncnn_jpeg_generator_matches_torch():
                   jnp.asarray(coeffs), jnp.asarray(z), train=False)
     np.testing.assert_allclose(
         np.asarray(out), ref.numpy().transpose(0, 2, 3, 1), atol=2e-5)
+
+
+# --------------------------------------------------------- torch MSRResNet
+class _TorchResBlockNoBN(nn.Module):
+    def __init__(self, nf):
+        super().__init__()
+        self.conv1 = nn.Conv2d(nf, nf, 3, 1, 1)
+        self.conv2 = nn.Conv2d(nf, nf, 3, 1, 1)
+
+    def forward(self, x):
+        return x + self.conv2(torch.relu(self.conv1(x)))
+
+
+class _TorchMSRResNet(nn.Module):
+    """architecture.py:18-66 (random weights)."""
+
+    def __init__(self, nf=16, nb=3, upscale=4):
+        super().__init__()
+        self.upscale = upscale
+        self.conv_first = nn.Conv2d(3, nf, 3, 1, 1)
+        self.recon_trunk = nn.Sequential(
+            *[_TorchResBlockNoBN(nf) for _ in range(nb)])
+        self.upconv1 = nn.Conv2d(nf, nf * 4, 3, 1, 1)
+        self.upconv2 = nn.Conv2d(nf, nf * 4, 3, 1, 1)
+        self.pixel_shuffle = nn.PixelShuffle(2)
+        self.HRconv = nn.Conv2d(nf, nf, 3, 1, 1)
+        self.conv_last = nn.Conv2d(nf, 3, 3, 1, 1)
+        self.lrelu = nn.LeakyReLU(0.1)
+
+    def forward(self, x):
+        fea = self.lrelu(self.conv_first(x))
+        out = self.recon_trunk(fea)
+        out = self.lrelu(self.pixel_shuffle(self.upconv1(out)))
+        out = self.lrelu(self.pixel_shuffle(self.upconv2(out)))
+        out = self.conv_last(self.lrelu(self.HRconv(out)))
+        base = torch.nn.functional.interpolate(
+            x, scale_factor=self.upscale, mode='bilinear',
+            align_corners=False)
+        return out + base
+
+
+def test_msrresnet_converter_parity():
+    """convert_msrresnet maps the torch MSRResNet (recon_trunk.i.conv1/2,
+    PixelShuffle channel grouping) onto the flax module exactly —
+    the train_srgan.json generator family (architecture.py:18-66)."""
+    from exsr.models.classifiers import MSRResNet
+    from exsr.models.convert import convert_msrresnet
+    torch.manual_seed(0)
+    tm = _TorchMSRResNet(nf=16, nb=3, upscale=4).eval()
+    # recon_trunk keys come out as 'recon_trunk.0.conv1.weight' etc.
+    state = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = jax.tree.map(jnp.asarray,
+                          convert_msrresnet(state, nf=16, nb=3, upscale=4))
+    fm = MSRResNet(nf=16, nb=3, upscale=4)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(2, 12, 10, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))) \
+            .numpy().transpose(0, 2, 3, 1)
+    out = np.asarray(fm.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
