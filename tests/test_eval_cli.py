@@ -204,3 +204,28 @@ def test_eval_sr_reference_opt(img_dir, tmp_path):
     assert summary['num_images'] == 1
     # Z-channel sweep exported as an animated GIF (test.py:289-319)
     assert os.path.exists(os.path.join(out, 'im0_Zsweep.gif'))
+
+
+REFERENCE_TEST_OPTS = '/root/reference/codes/options/test'
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_TEST_OPTS),
+                    reason='reference tree not mounted')
+def test_eval_sr_real_reference_configs(img_dir, tmp_path):
+    """The actual reference test JSONs drive eval_sr end-to-end: the
+    explorable test_sr.json keeps the CEM guarantee, test_esrgan_Feat.json
+    dispatches its CEM-less sr_resnet generator (no consistency metric —
+    nothing to guarantee)."""
+    from exsr.apps import eval_sr
+    s = eval_sr.main(['--opt', f'{REFERENCE_TEST_OPTS}/test_sr.json',
+                      '--hr_dir', img_dir, '--nb', '1',
+                      '--out_dir', str(tmp_path / 'o1'),
+                      '--max_images', '1'])
+    assert s['avg_consistency_mae'] < 1e-3
+    s2 = eval_sr.main(['--opt',
+                       f'{REFERENCE_TEST_OPTS}/test_esrgan_Feat.json',
+                       '--hr_dir', img_dir, '--nb', '1',
+                       '--out_dir', str(tmp_path / 'o2'),
+                       '--max_images', '1'])
+    assert np.isfinite(s2['avg_psnr'])
+    assert 'avg_consistency_mae' not in s2
