@@ -1174,17 +1174,27 @@ def make_server(api: SessionApi, port: int = 8000,
                 out = {'error': f'{type(e).__name__}: {e}'}  # GUI statusbar
             self._send(200, json.dumps(out).encode())
 
-    return ThreadingHTTPServer((host, port), Handler)
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv.api = api   # introspection for tests / callers
+    return srv
 
 
-def main(argv=None):
+def main(argv=None, serve: bool = True):
     from exsr.utils.compile import enable_persistent_cache
     enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--port', type=int, default=8000)
     p.add_argument('--host', default='127.0.0.1')
+    p.add_argument('--opt',
+                   help='reference GUI options JSON (GUI_SR.json / '
+                        'GUI_JPEG.json dialect, the `GUI.py SR -opt ...` '
+                        'launch path) — fills mode/scale/nb/nf/latent; '
+                        'explicit flags win')
     p.add_argument('--scale', type=int, default=4)
-    p.add_argument('--nb', type=int, default=23)
+    p.add_argument('--nb', type=int, default=None,
+                   help='generator depth (default: 23 SR / 10 JPEG)')
+    p.add_argument('--nf', type=int, default=None,
+                   help='generator width (JPEG mode; default 320)')
     p.add_argument('--checkpoint')
     p.add_argument('--image', help='image to open at startup')
     p.add_argument('--time_budget', type=float, default=30.0)
@@ -1204,10 +1214,34 @@ def main(argv=None):
                         'convert_torch_g --latent_channels 0); seeded '
                         'random weights when omitted')
     args = p.parse_args(argv)
+    jpeg_latent = 64
+    if args.opt:
+        import sys as _sys
+        from exsr.options.config import parse as parse_opt
+        o = parse_opt(args.opt, is_train=False)
+        given = {a[2:].split('=')[0]
+                 for a in (argv if argv is not None else _sys.argv[1:])
+                 if a.startswith('--')}
+        g_opt = o['network_G'] or {}
+        if 'mode' not in given and (o['model'] == 'dncnn'
+                                    or g_opt['DCT_G']):
+            args.mode = 'jpeg'
+        if 'scale' not in given and o['scale']:
+            args.scale = int(o['scale'])
+        if args.nb is None and g_opt['nb']:
+            args.nb = int(g_opt['nb'])
+        if args.nf is None and g_opt['nf']:
+            args.nf = int(g_opt['nf'])
+        if g_opt['latent_channels']:
+            from exsr.losses.filter_loss import num_latent_channels
+            jpeg_latent = num_latent_channels(g_opt['latent_channels'])
 
     if args.mode == 'jpeg':
         from exsr.apps.jpeg_session import JPEGEditSession
         session = JPEGEditSession(qf=args.qf,
+                                  nf=args.nf or 320,
+                                  nb=args.nb or 10,
+                                  latent_channels=jpeg_latent,
                                   time_budget_s=args.time_budget)
         if args.checkpoint:
             # restore trained explorable-JPEG generator weights (the SR
@@ -1241,11 +1275,13 @@ def main(argv=None):
         api = JpegSessionApi(session)
         srv = make_server(api, args.port, args.host)
         print(f'exsr web UI (JPEG mode) at http://{args.host}:{args.port}/')
-        srv.serve_forever()
-        return
+        if serve:
+            srv.serve_forever()
+        return srv
 
     from exsr.apps.session import EditSession
-    session = EditSession(scale=args.scale, nb=args.nb,
+    sr_nb = args.nb or 23
+    session = EditSession(scale=args.scale, nb=sr_nb,
                           time_budget_s=args.time_budget)
     if args.checkpoint:
         import os
@@ -1269,7 +1305,7 @@ def main(argv=None):
             import jax.numpy as jnp
             from exsr.models.rrdb import RRDBNet
             from exsr.train.checkpoints import CheckpointManager
-            g0 = RRDBNet(nb=args.nb, upscale=args.scale,
+            g0 = RRDBNet(nb=sr_nb, upscale=args.scale,
                          latent_channels=0)
             template = g0.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 16, 16, 3)), None)
@@ -1284,7 +1320,9 @@ def main(argv=None):
     api = SessionApi(session)
     srv = make_server(api, args.port, args.host)
     print(f'exsr web UI at http://{args.host}:{args.port}/')
-    srv.serve_forever()
+    if serve:
+        srv.serve_forever()
+    return srv
 
 
 if __name__ == '__main__':

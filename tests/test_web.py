@@ -466,3 +466,56 @@ def test_esrgan_comparison_view():
     api.open({'image': _png_b64(img[:48, :48]), 'is_hr': True})
     e2 = session.esrgan_sr()
     assert e2 is not e1 and e2.shape == session.sr.shape
+
+
+def test_main_accepts_gui_opt_configs(tmp_path):
+    """`web --opt GUI_SR.json` / `GUI_JPEG.json` — the reference's
+    `GUI.py SR -opt ...` launch path: the config decides mode and
+    generator architecture (GUI.py:1320-1329)."""
+    import json as _json
+    import os
+    from exsr.apps.web import main
+    gui_sr = {
+        'name': 'g', 'model': 'srragan', 'scale': 4,
+        'path': {'root': str(tmp_path)},
+        'network_G': {'which_model_G': 'RRDB_net', 'CEM_arch': 1,
+                      'latent_input': 'all_layers', 'latent_channels': 3,
+                      'nf': 64, 'nb': 1, 'in_nc': 3, 'out_nc': 3,
+                      'gc': 32},
+    }
+    p1 = tmp_path / 'gui_sr.json'
+    p1.write_text(_json.dumps(gui_sr))
+    srv = main(['--opt', str(p1), '--port', '0'], serve=False)
+    try:
+        api = srv.api
+        assert api.session.nb == 1            # from the config
+        assert api.session.latent_channels == 3
+    finally:
+        srv.server_close()
+    gui_jpeg = {
+        'name': 'gj', 'model': 'dncnn', 'scale': 4,
+        'path': {'root': str(tmp_path)},
+        'network_G': {'which_model_G': 'DnCNN', 'DCT_G': 1,
+                      'latent_input': 'all_layers',
+                      'latent_channels': 64, 'nf': 16, 'nb': 2,
+                      'in_nc': 64, 'out_nc': 64},
+    }
+    p2 = tmp_path / 'gui_jpeg.json'
+    p2.write_text(_json.dumps(gui_jpeg))
+    srv2 = main(['--opt', str(p2), '--port', '0'], serve=False)
+    try:
+        api2 = srv2.api
+        from exsr.apps.web import JpegSessionApi
+        assert isinstance(api2, JpegSessionApi)  # model 'dncnn' -> jpeg
+        assert api2.session.nf == 16 and api2.session.nb == 2
+    finally:
+        srv2.server_close()
+    # the real reference GUI configs parse through the same path
+    ref = '/root/reference/codes/options/test/GUI_SR.json'
+    if os.path.exists(ref):
+        srv3 = main(['--opt', ref, '--nb', '1', '--port', '0'],
+                    serve=False)
+        try:
+            assert srv3.api.session.nb == 1   # explicit flag wins
+        finally:
+            srv3.server_close()
