@@ -312,7 +312,7 @@ def _main_chroma(args):
                              chroma=True,
                              qf_spec=(((args.qf_min, args.qf_max), 1.0),),
                              train=False)
-    decode = jax.jit(trainer._decode)
+    decode = trainer.decode   # already jitted by the trainer
 
     def validate():
         """CbCr PSNR of the chroma decode (conditioned on the Y

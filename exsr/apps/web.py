@@ -1206,6 +1206,12 @@ def main(argv=None, serve: bool = True):
     p.add_argument('--chroma_checkpoint',
                    help='trained chroma-generator checkpoint for the JPEG '
                         "mode's color view (train_jpeg --chroma output)")
+    p.add_argument('--chroma_nf', type=int, default=None,
+                   help='chroma generator width (default: the --opt '
+                        "config's network_G nf, else 320)")
+    p.add_argument('--chroma_nb', type=int, default=None,
+                   help='chroma generator depth (default: config, '
+                        'else 10)')
     p.add_argument('--esrgan', action='store_true',
                    help="serve the plain-ESRGAN comparison view "
                         "(the GUI's display_ESRGAN slot, GUI.py:2539-2550)")
@@ -1215,6 +1221,7 @@ def main(argv=None, serve: bool = True):
                         'random weights when omitted')
     args = p.parse_args(argv)
     jpeg_latent = 64
+    chroma_arch = {}
     if args.opt:
         import sys as _sys
         from exsr.options.config import parse as parse_opt
@@ -1222,17 +1229,28 @@ def main(argv=None, serve: bool = True):
         given = {a[2:].split('=')[0]
                  for a in (argv if argv is not None else _sys.argv[1:])
                  if a.startswith('--')}
-        g_opt = o['network_G'] or {}
+        g_opt = dict(o['network_G'] or {})
         if 'mode' not in given and (o['model'] == 'dncnn'
-                                    or g_opt['DCT_G']):
+                                    or g_opt.get('DCT_G')):
             args.mode = 'jpeg'
+        if args.mode == 'jpeg':
+            # in the JPEG GUI config network_G describes the CHROMA net;
+            # the Y generator (the one the session edits) is network_G
+            # overridden by network_G_Y (DecompCNN_model.py:64-67,
+            # GUI_JPEG.json)
+            chroma_arch = {k: g_opt[k] for k in ('nf', 'nb')
+                           if g_opt.get(k)}
+            y_over = o['network_G_Y']
+            if y_over:
+                g_opt.update({k: v for k, v in dict(y_over).items()
+                              if v is not None})
         if 'scale' not in given and o['scale']:
             args.scale = int(o['scale'])
-        if args.nb is None and g_opt['nb']:
+        if args.nb is None and g_opt.get('nb'):
             args.nb = int(g_opt['nb'])
-        if args.nf is None and g_opt['nf']:
+        if args.nf is None and g_opt.get('nf'):
             args.nf = int(g_opt['nf'])
-        if g_opt['latent_channels']:
+        if g_opt.get('latent_channels'):
             from exsr.losses.filter_loss import num_latent_channels
             jpeg_latent = num_latent_channels(g_opt['latent_channels'])
 
@@ -1262,12 +1280,17 @@ def main(argv=None, serve: bool = True):
             session.init_random_params(0)
         if args.chroma_checkpoint:
             # trained-chroma decode: CbCr reconstructed by the chroma
-            # generator conditioned on the edited Y (train_jpeg --chroma)
+            # generator conditioned on the edited Y (train_jpeg --chroma);
+            # architecture from --chroma_nf/--chroma_nb or the --opt
+            # config's network_G (the chroma net in GUI_JPEG.json)
             import os
             from exsr.train.checkpoints import CheckpointManager
             raw = CheckpointManager(os.path.abspath(
                 args.chroma_checkpoint)).restore_raw()
-            session.attach_chroma(raw['gc_params'])
+            session.attach_chroma(
+                raw['gc_params'],
+                nf=args.chroma_nf or int(chroma_arch.get('nf', 320)),
+                nb=args.chroma_nb or int(chroma_arch.get('nb', 10)))
         if args.image:
             from PIL import Image
             img = np.asarray(Image.open(args.image).convert('RGB')) / 255.0

@@ -193,6 +193,13 @@ def decode_jfif(data: bytes) -> dict:
             h = int.from_bytes(seg[1:3], 'big')
             w = int.from_bytes(seg[3:5], 'big')
             ncomp = seg[5]
+            if not 1 <= ncomp <= 4:
+                # T.81 limits interleaved scans to Ns <= 4, and this
+                # decoder requires one interleaved scan over every frame
+                # component; the bound also keeps a crafted component
+                # count from indexing past the native decoder's
+                # fixed-size per-component tables
+                raise UnsupportedJPEGError(f'{ncomp} components')
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
@@ -304,6 +311,8 @@ def _decode_scan(data, pos, frame, scan, q_tables, huff_dc, huff_ac,
                     for bx in range(c['h']):
                         blk = np.zeros(64, np.int32)
                         t = dc_t.decode(br)
+                        if t > 16:  # DC category bound (T.81 F.1.2.1.2)
+                            raise UnsupportedJPEGError('bad Huffman code')
                         preds[ci] += _extend(br.take(t), t)
                         blk[0] = preds[ci]
                         k = 1

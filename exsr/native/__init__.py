@@ -23,20 +23,60 @@ _lib = None
 _build_failed = False
 
 
-def _build() -> bool:
-    global _build_failed
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= \
-            os.path.getmtime(_SRC):
+def build_shared_object(src: str, so: str) -> bool:
+    """Lazy g++ build shared by every native module.
+
+    Atomic: compiles to a per-process temp path then os.rename's into
+    place, so a killed or concurrent build can never leave a
+    half-written .so that passes the mtime check (two processes taking
+    their first decode simultaneously both succeed)."""
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
         return True
+    tmp = f'{so}.{os.getpid()}.tmp'
     try:
         subprocess.run(
             ['g++', '-O3', '-march=native', '-shared', '-fPIC',
-             '-std=c++17', _SRC, '-o', _SO],
+             '-std=c++17', src, '-o', tmp],
             check=True, capture_output=True)
+        os.replace(tmp, so)
         return True
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
-        _build_failed = True
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
+
+
+def load_native_lib(src: str, so: str, configure) -> object | None:
+    """Build (if needed) + CDLL + signature setup; None when unavailable.
+    A CDLL failure (e.g. stale partial .so from an old non-atomic build)
+    deletes the artifact and retries the build once."""
+    if not build_shared_object(src, so):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        try:
+            os.unlink(so)
+        except OSError:
+            return None
+        if not build_shared_object(src, so):
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None
+    configure(lib)
+    return lib
+
+
+def _build() -> bool:
+    global _build_failed
+    if build_shared_object(_SRC, _SO):
+        return True
+    _build_failed = True
+    return False
 
 
 def load():

@@ -8,40 +8,19 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 
 import numpy as np
+
+from exsr.native import load_native_lib
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, 'jfif_scan.cpp')
 _SO = os.path.join(_HERE, '_jfif_scan.so')
 _lib = None
-_build_failed = False
+_load_failed = False
 
 
-def _build() -> bool:
-    global _build_failed
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= \
-            os.path.getmtime(_SRC):
-        return True
-    try:
-        subprocess.run(
-            ['g++', '-O3', '-march=native', '-shared', '-fPIC',
-             '-std=c++17', _SRC, '-o', _SO],
-            check=True, capture_output=True)
-        return True
-    except (subprocess.CalledProcessError, FileNotFoundError):
-        _build_failed = True
-        return False
-
-
-def load():
-    global _lib
-    if _lib is not None:
-        return _lib
-    if _build_failed or not _build():
-        return None
-    lib = ctypes.CDLL(_SO)
+def _configure(lib):
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.exsr_jfif_decode_scan.argtypes = [
@@ -50,8 +29,15 @@ def load():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(i32p)]
     lib.exsr_jfif_decode_scan.restype = ctypes.c_int
-    _lib = lib
-    return lib
+
+
+def load():
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    _lib = load_native_lib(_SRC, _SO, _configure)
+    _load_failed = _lib is None
+    return _lib
 
 
 def available() -> bool:

@@ -138,6 +138,7 @@ extern "C" int exsr_jfif_decode_scan(
     int32_t mcus_x, int32_t mcus_y, int32_t restart_interval,
     int32_t** planes             // n_comp buffers [bh, bw, 64], zeroed
 ) {
+    if (n_comp < 1 || n_comp > 8) return 1;  // fixed-size table bound
     BitReader br{data, data_len, pos};
     Huffman dc_t[8], ac_t[8];
     for (int c = 0; c < n_comp; ++c) {
@@ -165,7 +166,9 @@ extern "C" int exsr_jfif_decode_scan(
                             static_cast<int64_t>(mx) * ch + bx;
                         int32_t* blk = planes[ci] + (row * bw + col) * 64;
                         int t = dc_t[ci].decode(br);
-                        if (t < 0) return 1;
+                        // t > 16 would make take()'s shifts UB; the DC
+                        // category is bounded by T.81 F.1.2.1.2
+                        if (t < 0 || t > 16) return 1;
                         preds[ci] += extend(br.take(t), t);
                         blk[0] = preds[ci];  // ZIGZAG[0] == 0
                         int k = 1;

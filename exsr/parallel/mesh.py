@@ -90,8 +90,18 @@ class ShardingRules:
 
         def put(x):
             import numpy as _np
-            sh = (self.batch if getattr(x, 'ndim', 0) == 4
-                  else self.replicated)
+            nd = getattr(x, 'ndim', 0)
+            if nd == 4:
+                sh = self.batch
+            elif nd >= 1:
+                # every leaf of a batch is per-sample (e.g. the JPEG
+                # loader's [B] 'qf'): shard its leading axis on 'data' —
+                # a replicated spec here would treat each host's SLICE as
+                # the whole value and assemble a wrong-shaped array
+                sh = NamedSharding(self.mesh,
+                                   P(*(('data',) + (None,) * (nd - 1))))
+            else:
+                sh = self.replicated
             return jax.make_array_from_process_local_data(
                 sh, _np.asarray(x))
         return jax.tree.map(put, local_batch)

@@ -140,6 +140,16 @@ sl = local_batch_slice(B)
 batch = rules.shard_host_batch({k: v[sl] for k, v in gb.items()})
 assert batch['lr'].shape[0] == B   # global shape, process-local shards
 
+# per-sample 1D leaves (e.g. the JPEG loader's [B] 'qf') assemble to the
+# true global array, not a replicated per-host slice
+qf_global = np.arange(B, dtype=np.float32) + 3.0
+extra = rules.shard_host_batch({'qf': qf_global[sl]})
+assert extra['qf'].shape == (B,)
+from jax.sharding import NamedSharding, PartitionSpec as P
+qsum = jax.jit(lambda q: q.sum(),
+               out_shardings=NamedSharding(mesh, P()))(extra['qf'])
+assert abs(float(qsum) - float(qf_global.sum())) < 1e-5
+
 state, metrics = trainer.d_step(state, batch, dual=False)
 l = float(metrics['l_d_total'])
 assert np.isfinite(l), l
