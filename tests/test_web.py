@@ -519,3 +519,14 @@ def test_main_accepts_gui_opt_configs(tmp_path):
             assert srv3.api.session.nb == 1   # explicit flag wins
         finally:
             srv3.server_close()
+    refj = '/root/reference/codes/options/test/GUI_JPEG.json'
+    if os.path.exists(refj):
+        # network_G is the CHROMA net (nf=160); the served Y generator
+        # takes network_G_Y's override (nf=320) — DecompCNN_model.py:64-67
+        srv4 = main(['--opt', refj, '--port', '0'], serve=False)
+        try:
+            assert isinstance(srv4.api, JpegSessionApi)
+            assert srv4.api.session.nf == 320
+            assert srv4.api.session.latent_channels == 64
+        finally:
+            srv4.server_close()
