@@ -45,6 +45,13 @@ def main(argv=None):
                         'seeded random Y weights when omitted')
     p.add_argument('--y_latent_channels', type=int, default=64,
                    help='latent width of the conditioning Y generator')
+    p.add_argument('--y_nf', type=int, default=None,
+                   help='width of the conditioning Y generator (default: '
+                        '--nf). The reference trains chroma at nf=160 '
+                        'under a 320-wide Y model (GUI_JPEG.json)')
+    p.add_argument('--y_nb', type=int, default=None,
+                   help='depth of the conditioning Y generator '
+                        '(default: --nb)')
     args = p.parse_args(argv)
     if args.chroma:
         return _main_chroma(args)
@@ -234,7 +241,8 @@ def _main_chroma(args):
     cfg = DecompConfig(patch_size=args.patch, latent_channels=0,
                        chroma_mode=True, niter=args.niter)
     ylat = args.y_latent_channels
-    gy = DnCNN(DnCNNConfig(n_channels=args.nf, depth=args.nb,
+    gy = DnCNN(DnCNNConfig(n_channels=args.y_nf or args.nf,
+                           depth=args.y_nb or args.nb,
                            num_latent_channels=ylat))
     gy_vars = dict(gy.init(jax.random.PRNGKey(args.seed + 7),
                            jnp.zeros((1, 8, 8, 64)),
