@@ -259,16 +259,18 @@ def main(argv=None):
     from exsr.utils.color import tensor2img
     from exsr.ops.resize import imresize
 
-    # in the optimizer modes the EditSession is the scoring model; the
-    # build_model generator only serves the optional --z_sweep_gif, so
-    # skip its (second) checkpoint restore unless that path is active
-    _opt_only = OPTIMIZER_MODES.get(args.latent) and not args.z_sweep_gif
-    cem, forward = build_model(args.scale, args.nb,
-                               latent_channels=nz,
-                               checkpoint=None if _opt_only
-                               else args.checkpoint,
-                               arch=arch, use_cem=use_cem, nf=nf)
     opt_objective = OPTIMIZER_MODES.get(args.latent)
+    if opt_objective and not args.z_sweep_gif:
+        # the EditSession below is the scoring model and nothing needs a
+        # generator forward — build only the CEM (skips a redundant full
+        # generator init + checkpoint restore)
+        from exsr.cem.cem import CEM, CEMConf
+        cem, forward = CEM.create(CEMConf(scale_factor=args.scale)), None
+    else:
+        cem, forward = build_model(args.scale, args.nb,
+                                   latent_channels=nz,
+                                   checkpoint=args.checkpoint,
+                                   arch=arch, use_cem=use_cem, nf=nf)
     session = None
     if opt_objective:
         assert args.kernel != 'estimated', \

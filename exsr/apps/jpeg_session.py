@@ -513,10 +513,7 @@ class JPEGEditSession:
         else:
             raise NotImplementedError(objective)
         if negate:
-            inner_loss = loss
-
-            def loss(out, z):
-                return -inner_loss(out, z)
+            loss = obj.negated(loss)
 
         if name == 'digit':
             cache = getattr(self, '_zo_cache', None)

@@ -708,10 +708,7 @@ class EditSession:
         else:
             raise NotImplementedError(objective)
         if negate:
-            inner_loss = loss
-
-            def loss(out, z):
-                return -inner_loss(out, z)
+            loss = obj.negated(loss)
         if constraining is not None:
             loss = obj.with_constraint(loss, constraining)
         return loss

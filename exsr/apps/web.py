@@ -1254,6 +1254,13 @@ def main(argv=None, serve: bool = True):
             from exsr.losses.filter_loss import num_latent_channels
             jpeg_latent = num_latent_channels(g_opt['latent_channels'])
 
+    def _restore_g(ckpt_dir, template):
+        """orbax {'g_params'} checkpoint -> params matching template."""
+        import os
+        from exsr.train.checkpoints import CheckpointManager
+        mgr = CheckpointManager(os.path.abspath(ckpt_dir))
+        return mgr.restore({'g_params': template})['g_params']
+
     if args.mode == 'jpeg':
         from exsr.apps.jpeg_session import JPEGEditSession
         session = JPEGEditSession(qf=args.qf,
@@ -1266,16 +1273,12 @@ def main(argv=None, serve: bool = True):
             # branch below does the same for RRDB); previously the jpeg
             # branch silently ignored --checkpoint and served random
             # weights, with consistency clamping masking the problem
-            import os
             import jax
             import jax.numpy as jnp
-            from exsr.train.checkpoints import CheckpointManager
-            mgr = CheckpointManager(os.path.abspath(args.checkpoint))
             template = session.generator.init(
                 jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 64)),
                 jnp.zeros((1, 8, 8, session.latent_channels)))
-            session.load_params(mgr.restore(
-                {'g_params': template})['g_params'])
+            session.load_params(_restore_g(args.checkpoint, template))
         else:
             session.init_random_params(0)
         if args.chroma_checkpoint:
@@ -1307,34 +1310,26 @@ def main(argv=None, serve: bool = True):
     session = EditSession(scale=args.scale, nb=sr_nb,
                           time_budget_s=args.time_budget)
     if args.checkpoint:
-        import os
         import jax
         import jax.numpy as jnp
-        from exsr.train.checkpoints import CheckpointManager
-        mgr = CheckpointManager(os.path.abspath(args.checkpoint))
         template = session.generator.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
             jnp.zeros((1, 16 * args.scale, 16 * args.scale,
                        session.latent_channels)))
-        session.load_params(mgr.restore(
-            {'g_params': template})['g_params'])
+        session.load_params(_restore_g(args.checkpoint, template))
     else:
         session.init_random_params(0)
     if args.esrgan or args.esrgan_checkpoint:
         eparams = None
         if args.esrgan_checkpoint:
-            import os
             import jax
             import jax.numpy as jnp
             from exsr.models.rrdb import RRDBNet
-            from exsr.train.checkpoints import CheckpointManager
             g0 = RRDBNet(nb=sr_nb, upscale=args.scale,
                          latent_channels=0)
             template = g0.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 16, 16, 3)), None)
-            mgr = CheckpointManager(os.path.abspath(
-                args.esrgan_checkpoint))
-            eparams = mgr.restore({'g_params': template})['g_params']
+            eparams = _restore_g(args.esrgan_checkpoint, template)
         session.attach_esrgan(eparams)
     if args.image:
         from PIL import Image

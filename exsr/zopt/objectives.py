@@ -76,6 +76,14 @@ class STDHelpers:
                        ddof=1)[:, None]
 
 
+def negated(loss):
+    """Sign-flipped objective — the 'max_' distance modes maximize the
+    wrapped distance (UnDesired_Im; Z_optimization.py:733-734)."""
+    def f(out, z):
+        return -loss(out, z)
+    return f
+
+
 def l1_to_desired(desired: jnp.ndarray, loss_mask: jnp.ndarray | None):
     """'l1' objective: masked L1 to a desired image
     (Z_optimization.py:401-448,702-703)."""
