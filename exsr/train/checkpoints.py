@@ -87,12 +87,18 @@ class CheckpointManager:
 
     def restore_raw(self, step: int | None = None):
         """Template-free restore of the 'state' item as a raw nested dict
-        (for tooling that extracts a sub-tree, e.g. export_g)."""
+        of HOST numpy arrays (for tooling that extracts a sub-tree, e.g.
+        export_g).  Restoring to numpy rather than the checkpoint's
+        recorded shardings makes TPU-written checkpoints loadable on CPU
+        ('Device TPU v5 lite0 was not found' otherwise)."""
         step = self._mgr.latest_step() if step is None else step
-        restored = self._mgr.restore(
-            step, args=ocp.args.Composite(
-                state=ocp.args.StandardRestore()))
-        return restored['state']
+        path = f'{self._mgr.directory}/{step}/state'
+        ckptr = ocp.PyTreeCheckpointer()
+        meta = ckptr.metadata(path).item_metadata
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+        return ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
 
     def wait(self):
         self._mgr.wait_until_finished()
