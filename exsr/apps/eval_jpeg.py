@@ -47,6 +47,10 @@ def main(argv=None):
     p.add_argument('--num_z_iters', type=int, default=250,
                    help='Z-optimization iterations for the optimizer '
                         'modes (test_JPEG.py NUM_Z_ITERS)')
+    p.add_argument('--save_images', action='store_true',
+                   help='save the decoded Y images (plain JPEG + model '
+                        'decode) per image/QF (test_JPEG.py save_img '
+                        'path)')
     p.add_argument('--z_sweep_gif', type=int, default=0, metavar='N',
                    help='export an N-frame GIF sweeping the first '
                         '3-channel Z control from -1 to 1 per image '
@@ -119,6 +123,7 @@ def main(argv=None):
         h, w = (y.shape[0] // 8) * 8, (y.shape[1] // 8) * 8
         y = y[:h, :w][None, ..., None].astype(np.float32)
         for qf in args.qf:
+            decoded_y = None   # model decode in [0, 255] for --save_images
             qf_arr = jnp.asarray([float(qf)])
             comp = codec.compress(jnp.asarray(y), qf_arr, quantize=True)
             plain = np.asarray(codec.extract(comp, qf_arr))
@@ -142,8 +147,9 @@ def main(argv=None):
                 res = session.optimize(opt_objective, data=data,
                                        max_iters=args.num_z_iters)
                 out = np.asarray(session.out)
+                decoded_y = out[0, ..., 0] * 255.0
                 rec['psnr_decomp'] = calculate_psnr(
-                    out[0, ..., 0] * 255.0, y[0, ..., 0])
+                    decoded_y, y[0, ..., 0])
                 losses = np.asarray(res['losses'])
                 losses = losses[np.isfinite(losses)]
                 if losses.size:
@@ -166,7 +172,8 @@ def main(argv=None):
                 out, coeffs = decode(g_vars, comp_b, z,
                                      jnp.full((nz,), float(qf)))
                 out = np.asarray(out)
-                rec['psnr_decomp'] = calculate_psnr(out[0, ..., 0],
+                decoded_y = out[0, ..., 0]
+                rec['psnr_decomp'] = calculate_psnr(decoded_y,
                                                     y[0, ..., 0])
                 rec['bin_consistency_max'] = float(
                     jnp.abs(coeffs - comp_b).max())
@@ -196,6 +203,18 @@ def main(argv=None):
                                  f'{gname}_qf{qf}_Zsweep.gif'),
                     save_all=True, append_images=frames[1:],
                     duration=150, loop=0)
+            if args.save_images:
+                from PIL import Image as PILImage
+                base = os.path.splitext(os.path.basename(path))[0]
+                PILImage.fromarray(np.clip(plain[0, ..., 0], 0, 255)
+                                   .astype(np.uint8)).save(
+                    os.path.join(args.out_dir,
+                                 f'{base}_qf{qf}_jpeg.png'))
+                if decoded_y is not None:
+                    PILImage.fromarray(np.clip(decoded_y, 0, 255)
+                                       .astype(np.uint8)).save(
+                        os.path.join(args.out_dir,
+                                     f'{base}_qf{qf}_decomp.png'))
             results.append(rec)
             print(json.dumps(rec))
     summary = {}

@@ -155,7 +155,7 @@ def test_eval_jpeg_cli(img_dir, tmp_path):
     out = str(tmp_path / 'outj')
     eval_jpeg.main(['--data_dir', img_dir, '--qf', '10', '--nf', '16',
                     '--nb', '3', '--out_dir', out, '--num_z', '3',
-                    '--z_sweep_gif', '2'])
+                    '--z_sweep_gif', '2', '--save_images'])
     summary = json.load(open(os.path.join(out, 'summary.json')))['summary']
     assert np.isfinite(summary['avg_psnr_jpeg'])
     assert np.isfinite(summary['avg_psnr_decomp'])
@@ -163,6 +163,9 @@ def test_eval_jpeg_cli(img_dir, tmp_path):
     assert summary['avg_per_pixel_std'] >= 0
     # Z-sweep GIF export (test_JPEG.py TEST_TYPE='GIF')
     assert any(f.endswith('_Zsweep.gif') for f in os.listdir(out))
+    # per-image decodes saved (test_JPEG.py save_img path)
+    assert any(f.endswith('_jpeg.png') for f in os.listdir(out))
+    assert any(f.endswith('_decomp.png') for f in os.listdir(out))
 
 
 def test_eval_jpeg_optimizer_latent(img_dir, tmp_path):
