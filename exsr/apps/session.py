@@ -780,10 +780,17 @@ class EditSession:
         where 0 — the transparent-mask mode of finalize_imprinting
         (GUI.py:1125-1131)."""
         y, x = position
-        ih, iw = imprint_rgb.shape[:2]
         desired_full = np.asarray(self.sr[0], np.float64).copy()
-        patch = np.asarray(imprint_rgb, np.float64)
+        # crop to the canvas: an explicit position near the border keeps
+        # the visible part of the imprint (the Qt GUI constrains drags to
+        # the canvas by construction; the raw API must not shape-error)
+        ih = min(imprint_rgb.shape[0], desired_full.shape[0] - y)
+        iw = min(imprint_rgb.shape[1], desired_full.shape[1] - x)
+        assert ih > 0 and iw > 0, \
+            f'imprint position {position} is outside the image'
+        patch = np.asarray(imprint_rgb, np.float64)[:ih, :iw]
         if imprint_mask is not None:
+            imprint_mask = np.asarray(imprint_mask)[:ih, :iw]
             m = np.asarray(imprint_mask, np.float64)[..., None]
             patch = m * patch + (1 - m) * desired_full[y:y + ih, x:x + iw]
         desired_full[y:y + ih, x:x + iw] = patch

@@ -588,9 +588,15 @@ class JpegSessionApi(SessionApi):
         imp_y = rgb2ycbcr(imp, only_y=True)
         pos = req.get('position', [0, 0])
         y, x = int(pos[0]), int(pos[1])
-        ih, iw = imp_y.shape[:2]
         desired = np.asarray(s.out[0, :, :, 0]).copy()
-        desired[y:y + ih, x:x + iw] = imp_y
+        # crop to the canvas like EditSession.imprint — a border position
+        # keeps the visible part instead of shape-erroring
+        ih = min(imp_y.shape[0], desired.shape[0] - y)
+        iw = min(imp_y.shape[1], desired.shape[1] - x)
+        if ih <= 0 or iw <= 0:
+            return {'error': f'imprint position {[y, x]} is outside '
+                             'the image'}
+        desired[y:y + ih, x:x + iw] = imp_y[:ih, :iw]
         mask = np.zeros(s.region_mask.shape, np.float32)
         mask[y:y + ih, x:x + iw] = 1.0
         s.set_region(mask)

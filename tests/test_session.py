@@ -126,6 +126,20 @@ def test_imprint_location_search(session):
     assert np.isfinite(res['consistency_error'])
 
 
+def test_imprint_at_border_crops_to_canvas(session):
+    # an explicit position near the border keeps the visible part of the
+    # imprint instead of shape-erroring (raw API; the GUI constrains
+    # drags to the canvas by construction)
+    imprint = 0.9 * np.ones((16, 16, 3), np.float64)
+    h, w = session.sr.shape[1:3]
+    res = session.imprint(imprint, (h - 8, w - 8), optimize_iters=2)
+    assert np.isfinite(res['final_loss'])
+    # only the 8x8 visible corner is selected as the editing region
+    assert session.region_mask_hr[:h - 8, :].sum() == 0
+    assert session.region_mask_hr[h - 8:, w - 8:].sum() > 0
+    session.undo()
+
+
 @pytest.mark.slow
 def test_hist_objective_auto_temperature(session):
     mask = np.zeros((96, 96), np.float32)
