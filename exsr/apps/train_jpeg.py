@@ -13,6 +13,20 @@ import time
 import numpy as np
 
 
+def _make_rules(batch: int):
+    """Batch-sharded data parallelism over every device whose count
+    divides the batch (the train_sr CLI's auto-mesh; single-device this
+    is a 1x1 mesh and a no-op)."""
+    import math
+
+    import jax
+    from exsr.parallel.mesh import make_mesh, ShardingRules
+    n_data = math.gcd(batch, len(jax.devices()))
+    mesh = make_mesh(data=n_data, spatial=1,
+                     devices=jax.devices()[:n_data])
+    return ShardingRules(mesh)
+
+
 def main(argv=None):
     from exsr.utils.compile import enable_persistent_cache
     enable_persistent_cache()
@@ -96,9 +110,13 @@ def main(argv=None):
                            mutable=['batch_stats'])
         return out, mut['batch_stats']
 
+    # batch-sharded data parallelism over available devices (the
+    # reference DataParallel-wraps the DnCNN nets too, networks.py:157-181)
+    rules = _make_rules(args.batch)
     trainer = DecompTrainer(
         cfg, g_apply, flax_d_adapter(d),
-        g_stats_apply=g_stats_apply if 'batch_stats' in g_vars else None)
+        g_stats_apply=g_stats_apply if 'batch_stats' in g_vars else None,
+        rules=rules)
 
     # validation measures the DEPLOYED semantics: eval-mode BN (running
     # stats), exactly what eval_jpeg / sessions run after export
@@ -185,8 +203,8 @@ def main(argv=None):
         for batch in loader.epoch(epoch):
             if ctl.step >= cfg.niter:
                 break
-            b = {'uncomp': jnp.asarray(batch['uncomp']),
-                 'qf': jnp.asarray(batch['qf'])}
+            b = rules.shard_host_batch({'uncomp': batch['uncomp'],
+                                        'qf': batch['qf']})
             dual = (cfg.optimal_z_weight is not None
                     and ctl.generator_started_learning)
             if ctl.want_d_step():
@@ -289,10 +307,11 @@ def _main_chroma(args):
                             mutable=['batch_stats'])
         return out, mut['batch_stats']
 
+    rules = _make_rules(args.batch)
     trainer = ChromaDecompTrainer(
         cfg, gy_apply, gc_apply, flax_d_adapter(d),
         g_stats_apply=gc_stats_apply if 'batch_stats' in gc_vars
-        else None)
+        else None, rules=rules)
     state = trainer.init_state(gc_vars, d_vars,
                                jax.random.PRNGKey(args.seed + 2))
     os.makedirs(args.exp_dir, exist_ok=True)
@@ -349,8 +368,8 @@ def _main_chroma(args):
         for batch in loader.epoch(epoch):
             if step >= cfg.niter:
                 break
-            b = {'uncomp': jnp.asarray(batch['uncomp']),
-                 'qf': jnp.asarray(batch['qf'])}
+            b = rules.shard_host_batch({'uncomp': batch['uncomp'],
+                                        'qf': batch['qf']})
             state, metrics = trainer.step_fn(state, b, use_gan=True)
             log_accum.update({k: float(v) for k, v in metrics.items()
                               if np.ndim(v) == 0})

@@ -69,12 +69,28 @@ class ShardingRules:
     def replicated(self) -> NamedSharding:
         return NamedSharding(self.mesh, P())
 
+    def per_sample(self, ndim: int) -> NamedSharding:
+        """Per-sample leaf of rank ``ndim`` (e.g. the JPEG loader's [B]
+        'qf'): leading axis split on 'data'."""
+        return NamedSharding(self.mesh,
+                             P(*(('data',) + (None,) * (ndim - 1))))
+
+    def batch_spec(self, x: Any) -> NamedSharding:
+        """Sharding for one batch leaf: NHWC activations on
+        (data, spatial); any other per-sample array leading-'data';
+        scalars replicated."""
+        nd = getattr(x, 'ndim', 0)
+        if nd == 4:
+            return self.batch
+        if nd >= 1:
+            return self.per_sample(nd)
+        return self.replicated
+
     def shard_batch(self, batch: Any) -> Any:
-        """Place a host pytree of [B, H, W, C] arrays onto the mesh."""
+        """Place a host batch pytree onto the mesh (leaf rules of
+        :meth:`batch_spec`)."""
         return jax.tree.map(
-            lambda x: jax.device_put(x, self.batch)
-            if getattr(x, 'ndim', 0) == 4
-            else jax.device_put(x, self.replicated), batch)
+            lambda x: jax.device_put(x, self.batch_spec(x)), batch)
 
     def replicate(self, tree: Any) -> Any:
         return jax.device_put(tree, self.replicated)
@@ -90,20 +106,12 @@ class ShardingRules:
 
         def put(x):
             import numpy as _np
-            nd = getattr(x, 'ndim', 0)
-            if nd == 4:
-                sh = self.batch
-            elif nd >= 1:
-                # every leaf of a batch is per-sample (e.g. the JPEG
-                # loader's [B] 'qf'): shard its leading axis on 'data' —
-                # a replicated spec here would treat each host's SLICE as
-                # the whole value and assemble a wrong-shaped array
-                sh = NamedSharding(self.mesh,
-                                   P(*(('data',) + (None,) * (nd - 1))))
-            else:
-                sh = self.replicated
+            # every leaf of a batch is per-sample (e.g. the JPEG
+            # loader's [B] 'qf'): batch_spec shards its leading axis on
+            # 'data' — a replicated spec here would treat each host's
+            # SLICE as the whole value and assemble a wrong-shaped array
             return jax.make_array_from_process_local_data(
-                sh, _np.asarray(x))
+                self.batch_spec(x), _np.asarray(x))
         return jax.tree.map(put, local_batch)
 
 

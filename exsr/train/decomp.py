@@ -121,10 +121,15 @@ class DecompTrainer:
 
     def __init__(self, cfg: DecompConfig, g_apply: Callable,
                  d_apply: Callable | None,
-                 g_stats_apply: Callable | None = None):
+                 g_stats_apply: Callable | None = None, rules=None):
         self.cfg = cfg
         self.g_apply = g_apply
         self.d_apply = d_apply
+        # optional exsr.parallel.mesh.ShardingRules — batch-sharded data
+        # parallelism for the JPEG trainer (the reference DataParallel-
+        # wraps the DnCNN nets too, networks.py:157-181); same explicit-
+        # sharding + donation pattern as SRRaGANTrainer
+        self.rules = rules
         # optional BatchNorm running-stats capture:
         # ``g_stats_apply(g_params, coeffs, z) -> (out, batch_stats)``.
         # The reference's torch BN accumulates running stats on every
@@ -148,19 +153,51 @@ class DecompTrainer:
                                 optax.scale(-1.0))
         self.d_tx = optax.chain(optax.scale_by_adam(b1=cfg.beta1),
                                 optax.scale(-1.0))
-        self.d_step = tuned_jit(self._d_step, static_argnames=('dual',))
-        self.g_step = tuned_jit(self._g_step,
-                              static_argnames=('dual', 'use_gan'))
+        if rules is not None:
+            # state replicated, batch leaves split on 'data' ([B,..,..,C]
+            # 'uncomp' on the data x spatial axes, [B] 'qf' leading-data);
+            # out state pinned replicated (see srragan.py for why), state
+            # donated so XLA reuses its buffers across steps.  pjit
+            # disallows kwargs with in_shardings, so the static flags go
+            # positional behind keyword-friendly wrappers.
+            sh = (rules.replicated,
+                  {'uncomp': rules.batch, 'qf': rules.per_sample(1)})
+            out_sh = (rules.replicated, rules.replicated)
+            d_jit = tuned_jit(self._d_step, static_argnums=(2,),
+                              in_shardings=sh, out_shardings=out_sh,
+                              donate_argnums=(0,))
+            g_jit = tuned_jit(self._g_step, static_argnums=(2, 3),
+                              in_shardings=sh, out_shardings=out_sh,
+                              donate_argnums=(0,))
+
+            def d_step(state, batch, dual=True):
+                return d_jit(state, batch, dual)
+
+            def g_step(state, batch, dual=True, use_gan=True):
+                return g_jit(state, batch, dual, use_gan)
+            d_step.lower = lambda state, batch, dual=True: \
+                d_jit.lower(state, batch, dual)
+            g_step.lower = lambda state, batch, dual=True, use_gan=True: \
+                g_jit.lower(state, batch, dual, use_gan)
+            self.d_step, self.g_step = d_step, g_step
+        else:
+            self.d_step = tuned_jit(self._d_step,
+                                    static_argnames=('dual',))
+            self.g_step = tuned_jit(self._g_step,
+                                    static_argnames=('dual', 'use_gan'))
         self.decode = jax.jit(self._decode)
 
     def init_state(self, g_params, d_vars, rng) -> DecompTrainState:
-        return DecompTrainState(
+        state = DecompTrainState(
             step=jnp.zeros((), jnp.int32), g_params=g_params,
             g_opt=self.g_tx.init(g_params), d_vars=d_vars,
             d_opt=self.d_tx.init(d_vars['params']) if d_vars else None,
             ratio_stats=RatioStats.create(
                 3 if self.cfg.svd_mode else self.cfg.num_latent_channels),
             rng=rng)
+        if self.rules is not None:
+            state = self.rules.replicate(state)
+        return state
 
     # -------------------------------------------------------------- helpers
     def sample_z(self, rng, batch_size, hb, wb):

@@ -62,7 +62,7 @@ class ChromaDecompTrainer:
 
     def __init__(self, cfg: DecompConfig, gy_apply: Callable,
                  gc_apply: Callable, d_apply: Callable | None,
-                 g_stats_apply: Callable | None = None):
+                 g_stats_apply: Callable | None = None, rules=None):
         assert cfg.chroma_mode
         self.cfg = cfg
         self.codec_y = JPEGCodec()
@@ -78,15 +78,36 @@ class ChromaDecompTrainer:
                                 optax.scale(-1.0))
         self.d_tx = optax.chain(optax.scale_by_adam(b1=cfg.beta1),
                                 optax.scale(-1.0))
-        self.step_fn = tuned_jit(self._step, static_argnames=('use_gan',))
+        self.rules = rules
+        if rules is not None:
+            # batch-sharded data parallelism (see DecompTrainer): state
+            # replicated + donated, per-sample batch leaves on 'data'
+            sh = (rules.replicated,
+                  {'uncomp': rules.batch, 'qf': rules.per_sample(1)})
+            out_sh = (rules.replicated, rules.replicated)
+            s_jit = tuned_jit(self._step, static_argnums=(2,),
+                              in_shardings=sh, out_shardings=out_sh,
+                              donate_argnums=(0,))
+
+            def step_fn(state, batch, use_gan=True):
+                return s_jit(state, batch, use_gan)
+            step_fn.lower = lambda state, batch, use_gan=True: \
+                s_jit.lower(state, batch, use_gan)
+            self.step_fn = step_fn
+        else:
+            self.step_fn = tuned_jit(self._step,
+                                     static_argnames=('use_gan',))
         self.decode = jax.jit(self._decode)
 
     def init_state(self, gc_params, d_vars, rng) -> ChromaTrainState:
-        return ChromaTrainState(
+        state = ChromaTrainState(
             step=jnp.zeros((), jnp.int32), gc_params=gc_params,
             gc_opt=self.g_tx.init(gc_params), d_vars=d_vars,
             d_opt=self.d_tx.init(d_vars['params']) if d_vars else None,
             rng=rng)
+        if self.rules is not None:
+            state = self.rules.replicate(state)
+        return state
 
     # ---------------------------------------------------------------- pieces
     def _fake_y(self, y_img, qf, rng, mix: bool):

@@ -103,3 +103,57 @@ def test_d_step_hlo_actually_partitions_batch():
     assert 'devices=[8' in txt, 'no 8-way sharded operand in the HLO'
     # ...so the mean-loss gradient needs a cross-device reduction
     assert 'all-reduce' in txt, 'no gradient all-reduce: batch replicated?'
+
+
+@pytest.mark.slow
+def test_jpeg_d_step_hlo_partitions_batch():
+    """The JPEG trainer's data-parallel path (the reference wraps the
+    DnCNN nets in DataParallel too, networks.py:157-181): compiled d_step
+    splits the batch 8 ways and all-reduces gradients; one sharded step
+    runs and matches the unsharded trainer bit-for-bit."""
+    from exsr.models.dncnn import DnCNN, DnCNNConfig
+    from exsr.train.decomp import DecompTrainer, DecompConfig
+
+    cfg = DecompConfig(patch_size=16, latent_channels=4,
+                       optimal_z_iters=1, gan_type='wgan-gp')
+    g = DnCNN(DnCNNConfig(n_channels=16, depth=2, num_latent_channels=4))
+    coeffs0 = jnp.zeros((1, 2, 2, 64))
+    z0 = jnp.zeros((1, 2, 2, 4))
+    g_vars = dict(g.init(jax.random.PRNGKey(0), coeffs0, z0))
+
+    def g_apply(params, coeffs, z):
+        return g.apply(params, coeffs, z)
+
+    def d_apply(d_vars, x, update_stats):
+        return x.mean(axis=(1, 2, 3)), {}
+
+    mesh = make_mesh(data=8, spatial=1)
+    rules = ShardingRules(mesh)
+    trainer = DecompTrainer(cfg, g_apply, d_apply, rules=rules)
+    state = trainer.init_state(g_vars, {'params': {}},
+                               jax.random.PRNGKey(1))
+    rng = np.random.default_rng(0)
+    host = {'uncomp': rng.uniform(0, 255, (8, 16, 16, 1))
+            .astype(np.float32),
+            'qf': np.full((8,), 10.0, np.float32)}
+    batch = rules.shard_host_batch(host)
+    assert batch['qf'].sharding.spec == P('data')
+
+    lowered = trainer.d_step.lower(state, batch, dual=False)
+    txt = lowered.compile().as_text()
+    assert 'devices=[8' in txt, 'no 8-way sharded operand in the HLO'
+    assert 'all-reduce' in txt, 'no gradient all-reduce: batch replicated?'
+
+    # single-device reference FIRST: the sharded step donates (deletes)
+    # its state, whose replicated shards alias the original g_vars
+    # buffers on the CPU backend
+    ref_trainer = DecompTrainer(cfg, g_apply, d_apply)
+    ref_state = ref_trainer.init_state(g_vars, {'params': {}},
+                                       jax.random.PRNGKey(1))
+    _, ref_metrics = ref_trainer.d_step(
+        ref_state, jax.tree.map(jnp.asarray, host), dual=False)
+
+    state2, metrics = trainer.d_step(state, batch, dual=False)
+    assert np.isfinite(float(metrics['l_d_total']))
+    np.testing.assert_allclose(float(metrics['l_d_total']),
+                               float(ref_metrics['l_d_total']), rtol=1e-5)
