@@ -217,6 +217,12 @@ def decode_jfif(data: bytes) -> dict:
                 tc, th = seg[p] >> 4, seg[p] & 0xF
                 counts = list(seg[p + 1:p + 17])
                 n = sum(counts)
+                if n > 256:
+                    # T.81 B.2.4.2: at most 256 symbols per table — a
+                    # crafted count vector would otherwise index past the
+                    # decoders' fixed 256-entry symbol buffers
+                    raise UnsupportedJPEGError(
+                        f'DHT declares {n} symbols (> 256)')
                 symbols = list(seg[p + 17:p + 17 + n])
                 table = _Huffman(counts, symbols)
                 (huff_dc if tc == 0 else huff_ac)[th] = table

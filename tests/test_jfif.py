@@ -72,6 +72,22 @@ def test_progressive_rejected():
         decode_jfif(buf.getvalue())
 
 
+def test_oversized_dht_rejected():
+    """A crafted DHT declaring > 256 symbols must raise cleanly (T.81
+    B.2.4.2) instead of reaching the decoders' fixed symbol buffers."""
+    arr = np.zeros((16, 16), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode='L').save(buf, format='JPEG', quality=50)
+    raw = bytearray(buf.getvalue())
+    # splice an oversized DHT right after SOI: 16 counts of 255
+    counts = bytes([255] * 16)
+    payload = bytes([0x00]) + counts + bytes(256)  # truncated symbols
+    seg = b'\xff\xc4' + (len(payload) + 2).to_bytes(2, 'big') + payload
+    crafted = bytes(raw[:2]) + seg + bytes(raw[2:])
+    with pytest.raises(UnsupportedJPEGError, match='> 256'):
+        decode_jfif(crafted)
+
+
 def test_q_table_matches_codec_scaling():
     """PIL/libjpeg and exsr's codec share the IJG quality formula."""
     import jax.numpy as jnp
