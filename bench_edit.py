@@ -76,6 +76,21 @@ def main(out_path: str | None = None):
         out = zo.optimize_rounds(theta, n_rounds=6, obj_args=obj_args)
         n = int(np.sum(~np.isnan(out[4])))
         scan = (time.perf_counter() - t0) / max(n, 1)
+        # amortized cost per explored alternative: the GUI's alternatives
+        # browser (GUI.py DisplayedImageSelection / random alternatives)
+        # optimizes B latent candidates in ONE batched program, so the
+        # per-alternative step cost divides the (dispatch-floor-bound)
+        # per-step time by B (VERDICT r3 next #2a)
+        B_ALT = 8
+        s.optimize('l1', data=data, max_iters=30,
+                   n_alternatives=B_ALT)  # compile
+        s.undo()
+        t0 = time.perf_counter()
+        res_b = s.optimize('l1', data=data, max_iters=30,
+                           n_alternatives=B_ALT)
+        e2e_b = (time.perf_counter() - t0) / max(len(res_b['losses']), 1)
+        s.undo()
+
         rec = {
             'metric': 'z_edit_latency',
             'window_lr': win_lr,
@@ -83,6 +98,8 @@ def main(out_path: str | None = None):
             'scan_ms_per_step': round(1000 * scan, 2),
             'e2e_ms_per_step': round(1000 * e2e, 2),
             'vs_target_5ms': round(1000 * scan / 5.0, 2),
+            'alt_batch': B_ALT,
+            'e2e_ms_per_step_per_alt': round(1000 * e2e_b / B_ALT, 2),
         }
         records.append(rec)
         print(json.dumps(rec), flush=True)

@@ -281,6 +281,37 @@ def convert_torch_g(pth: str, out_dir: str, nb: int = 23,
     print(f'converted {pth} -> {out_dir} ({n:,} params)')
 
 
+def official_parity(pth: str, hr_dir: str, out_dir: str, nb: int = 23,
+                    latent_channels: int = 3, scale: int = 4,
+                    nf: int = 64, gc: int = 32, num_z: int = 1,
+                    max_images: int | None = None):
+    """ONE command from the paper's released ``.pth`` to its PSNR/SSIM/
+    consistency/diversity table: convert the torch G, then run ``eval_sr``
+    at Z=0 (+ ``num_z-1`` random Zs) on a Set5-style HR dir.
+
+    This is the parity check against the downloadable pretrained
+    explorable model the reference GUI loads (codes/README.md:40-43;
+    ESRGAN warm start at :62).  The zero-egress build image has neither
+    the Drive checkpoint nor DIV2K, so the recipe is validated in-test on
+    a synthetic flagship-shaped .pth (tests/test_torch_parity.py) — the
+    day real weights are available:
+
+        python -m exsr.apps.scripts official_parity \\
+            --pth trained_model.pth --hr_dir Set5_HR --out results/parity
+    """
+    ckpt = os.path.join(out_dir, 'converted_ckpt')
+    convert_torch_g(pth, ckpt, nb=nb, latent_channels=latent_channels,
+                    scale=scale, nf=nf, gc=gc)
+    from exsr.apps import eval_sr
+    argv = ['--hr_dir', hr_dir, '--checkpoint', ckpt,
+            '--scale', str(scale), '--nb', str(nb),
+            '--latent', 'rand_uniform', '--num_z', str(num_z),
+            '--out_dir', out_dir]
+    if max_images:
+        argv += ['--max_images', str(max_images)]
+    return eval_sr.main(argv)
+
+
 def psnr_ssim(gt_dir: str, gen_dir: str, crop: int = 4, y_only: bool =
               False, suffix: str = ''):
     """Folder-vs-folder MATLAB-compatible PSNR/SSIM table
@@ -413,6 +444,19 @@ def main(argv=None):
                    help="generator family: 'rrdb' (ESRGAN/explorable) or "
                         "'msrresnet' (train_srgan.json); msrresnet "
                         'requires --latent_channels 0')
+    s = sub.add_parser('official_parity')
+    s.add_argument('--pth', required=True,
+                   help="the paper's released G checkpoint (.pth)")
+    s.add_argument('--hr_dir', required=True,
+                   help='Set5-style ground-truth HR dir')
+    s.add_argument('--out', required=True, help='results dir')
+    s.add_argument('--nb', type=int, default=23)
+    s.add_argument('--latent_channels', type=int, default=3)
+    s.add_argument('--scale', type=int, default=4)
+    s.add_argument('--nf', type=int, default=64)
+    s.add_argument('--gc', type=int, default=32)
+    s.add_argument('--num_z', type=int, default=1)
+    s.add_argument('--max_images', type=int, default=None)
     s = sub.add_parser('psnr_ssim')
     s.add_argument('--gt_dir', required=True)
     s.add_argument('--gen_dir', required=True)
@@ -453,6 +497,10 @@ def main(argv=None):
     elif args.cmd == 'convert_torch_g':
         convert_torch_g(args.pth, args.out, args.nb, args.latent_channels,
                         args.scale, args.nf, args.gc, args.arch)
+    elif args.cmd == 'official_parity':
+        official_parity(args.pth, args.hr_dir, args.out, args.nb,
+                        args.latent_channels, args.scale, args.nf,
+                        args.gc, args.num_z, args.max_images)
     elif args.cmd == 'psnr_ssim':
         psnr_ssim(args.gt_dir, args.gen_dir, args.crop_border,
                   args.y_only, args.suffix)

@@ -132,9 +132,25 @@ def main(argv=None):
         cem = filt = None
         margins_hr = margins_lr = 0
     d_input = cfg.patch_size - 2 * margins_hr
-    d = DiscriminatorVGG128(base_nf=args.d_nf, nb=args.d_nb,
-                            num_2_strides=args.d_strides,
-                            input_patch_size=d_input)
+    if d_input <= 0:
+        raise SystemExit(
+            f'patch_size {cfg.patch_size} leaves the D no input after '
+            f'cropping 2x{margins_hr} CEM invalidity margins — use '
+            f'patch_size > {2 * margins_hr}')
+    decomposed_d = bool(args.opt and exp.network_d.decomposed_input
+                        and use_cem)
+    if decomposed_d:
+        # network_D.decomposed_input=1 -> two-stream PatchGAN judging the
+        # CEM (low, high) pair (SRRaGAN_model.py:84; architecture.py:359-387)
+        from exsr.models.discriminators import PatchGANDiscriminator
+        d = PatchGANDiscriminator(ndf=args.d_nf,
+                                  decomposed_input=True,
+                                  pre_clipping=exp.network_d.pre_clipping)
+        cfg = cfg.__class__(**{**cfg.__dict__, 'decomposed_d': True})
+    else:
+        d = DiscriminatorVGG128(base_nf=args.d_nf, nb=args.d_nb,
+                                num_2_strides=args.d_strides,
+                                input_patch_size=d_input)
     lr_patch = cfg.patch_size // cfg.scale
     rng = jax.random.PRNGKey(args.seed)
     which_g = exp.network_g.which_model if args.opt else 'RRDB_net'
@@ -157,14 +173,19 @@ def main(argv=None):
         # RRDBNet takes z=None when there are no latent channels; the
         # trainer always feeds a (possibly 0-channel) z array
         raw_apply = lambda pp, x, z: g.apply(pp, x, z if nz else None)
+    d_init_x = jnp.zeros((1, d_input, d_input, 3))
     d_vars = dict(d.init(jax.random.PRNGKey(args.seed + 1),
-                         jnp.zeros((1, d_input, d_input, 3))))
+                         (d_init_x, d_init_x) if decomposed_d else d_init_x))
     if use_cem:
         wrapped = cem_wrap(raw_apply, filt, upscale=cfg.scale)
     else:
         # same call shape as the CEM wrapper so validate() is uniform
         wrapped = lambda pp, x, z, m, pre_pad=True: raw_apply(pp, x, z)
     g_apply = lambda pp, x, z: wrapped(pp, x, z, 0, pre_pad=False)
+    g_apply_decomp = (
+        (lambda pp, x, z: wrapped(pp, x, z, 0, pre_pad=False,
+                                  decompose=True))
+        if decomposed_d else None)
     f_apply = None
     if cfg.feature_weight:
         # perceptual VGG feature loss (train_esrgan.json feature_weight;
@@ -190,7 +211,8 @@ def main(argv=None):
     rules = ShardingRules(mesh)
     trainer = SRRaGANTrainer(cfg, g_apply, flax_d_adapter(d),
                              margins_hr=margins_hr,
-                             rules=rules, f_apply=f_apply)
+                             rules=rules, f_apply=f_apply,
+                             g_apply_decomp=g_apply_decomp)
     state = trainer.init_state(g_params, d_vars, jax.random.PRNGKey(
         args.seed + 2))
     ctl = GANController(

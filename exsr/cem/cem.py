@@ -273,7 +273,7 @@ def cem_wrap(g_apply: Callable, cem_filters: CEMFilters, upscale: int):
             lr_in, z_in = lr, z_hr
         generated = g_apply(params, lr_in, z_in)
         out = cem_filters.enforce(lr_in[..., -3:], generated,
-                                  decompose=decompose and not pre_pad)
+                                  decompose=decompose)
         if pre_pad and margins_lr > 0:
             mh = sf * margins_lr
             if decompose:

@@ -385,6 +385,40 @@ def post_process_kernel(k: np.ndarray, sf: int, n: int = 40) -> np.ndarray:
     return kernel_shift(zeroize_negligible(k, n), sf=sf)
 
 
+def aniso_gaussian_kernel(size: int, sig1: float, sig2: float,
+                          theta: float, sf: int = 2) -> np.ndarray:
+    """Synthetic anisotropic-Gaussian downscale kernel (the degradation
+    family the reference trains/validates KernelGAN on, KernelGAN/util.py
+    gen_kernel procedure: random sigmas + rotation).  Centered at the
+    stride-``sf`` correlation convention that :func:`kernel_shift`
+    enforces — COM at ``size//2 + 0.5*(sf - size%2)`` on both axes — so a
+    kernel recovered from an image degraded with it is directly
+    comparable."""
+    c = size // 2 + 0.5 * (sf - size % 2)
+    yy, xx = np.mgrid[:size, :size].astype(np.float64)
+    d = np.stack([yy - c, xx - c], -1)
+    r = np.array([[np.cos(theta), -np.sin(theta)],
+                  [np.sin(theta), np.cos(theta)]])
+    cov = r @ np.diag([sig1 ** 2, sig2 ** 2]) @ r.T
+    icov = np.linalg.inv(cov)
+    k = np.exp(-0.5 * np.einsum('hwi,ij,hwj->hw', d, icov, d))
+    return k / k.sum()
+
+
+def kernel_moments(k: np.ndarray):
+    """(COM, centered 2x2 covariance) of a kernel — a size/alignment-
+    independent summary for comparing a recovered kernel to ground
+    truth."""
+    k = np.asarray(k, np.float64)
+    k = k / k.sum()
+    yy, xx = np.mgrid[:k.shape[0], :k.shape[1]].astype(np.float64)
+    com = np.array([(k * yy).sum(), (k * xx).sum()])
+    dy, dx = yy - com[0], xx - com[1]
+    cov = np.array([[(k * dy * dy).sum(), (k * dy * dx).sum()],
+                    [(k * dy * dx).sum(), (k * dx * dx).sum()]])
+    return com, cov
+
+
 def analytic_x4_kernel(k: np.ndarray) -> np.ndarray:
     """Compose the x4 kernel from an estimated x2 kernel
     (util.py:169-182)."""

@@ -156,7 +156,15 @@ def filter_loss(cfg: FilterLossConfig, stats: RatioStats,
              m_sr[1] / (m_hr[1] + jnp.sign(m_sr[1]) * cfg.noise_std),
              m_sr[2]], axis=0)
     else:
-        raise NotImplementedError(mode)
+        # integer latent_channels = free Z channels with no structural
+        # control mapping — the reference's FilterLoss rejects it too
+        # (loss.py:64 'Unknown latent channel setting'); train with
+        # latent_weight unset/0 or pick a named mode
+        raise NotImplementedError(
+            f'latent_channels={mode!r} has no L_struct mapping — use a '
+            "named mode ('SVDinNormedOut_structure_tensor', "
+            "'structure_tensor', 'SVD_structure_tensor', "
+            "'STD_directional') or disable latent_weight")
 
     new_stats = stats.update(measured)
     lower, upper = new_stats.bounds()

@@ -85,6 +85,12 @@ class TrainConfig:
     # before the single optimizer update.
     grad_accum_g: int = 1
     grad_accum_d: int = 1
+    # Feed the D the CEM (low-freq, high-freq) pair instead of the summed
+    # image (SRRaGAN_model.py:84,349-369; network_D.decomposed_input).  The
+    # reference ships this off ("(unsupported)", train_explorable_SR.json:58)
+    # but the path exists; requires a pair-input D (PatchGANDiscriminator
+    # with decomposed_input=True) and a ``g_apply_decomp``.
+    decomposed_d: bool = False
 
     @property
     def num_latent_channels(self) -> int:
@@ -131,11 +137,17 @@ class SRRaGANTrainer:
     def __init__(self, cfg: TrainConfig, g_apply: Callable,
                  d_apply: Callable, margins_hr: int,
                  rules: ShardingRules | None = None,
-                 f_apply: Callable | None = None):
+                 f_apply: Callable | None = None,
+                 g_apply_decomp: Callable | None = None):
         self.cfg = cfg
         self.g_apply = g_apply
         self.d_apply = d_apply
         self.f_apply = f_apply  # perceptual feature net (VGG19-54)
+        # (low, high) CEM-decomposed forward for decomposed_d training
+        # (cem_wrap(..., decompose=True); SRRaGAN_model.py:330-332)
+        self.g_apply_decomp = g_apply_decomp
+        if cfg.decomposed_d and g_apply_decomp is None:
+            raise ValueError('decomposed_d=True requires g_apply_decomp')
         self.margins_hr = margins_hr
         self.rules = rules
         self.filter_cfg = FilterLossConfig(latent_channels=cfg.latent_channels)
@@ -249,17 +261,29 @@ class SRRaGANTrainer:
         """
         cfg = self.cfg
         b = ref.shape[0]
-        fakes = [self.unpad(self.g_apply(state.g_params, lr_img, z))]
+        decomp = cfg.decomposed_d
+
+        def gen(z_in):
+            # decomposed fakes are (low, high) pairs, each unpadded
+            # (SRRaGAN_model.py:330-332)
+            if decomp:
+                low, high = self.g_apply_decomp(state.g_params, lr_img, z_in)
+                return (self.unpad(low), self.unpad(high))
+            return self.unpad(self.g_apply(state.g_params, lr_img, z_in))
+
+        fakes = [gen(z)]
         if dual:
             z_opt = self._optimal_z(state.g_params, lr_img, ref, z, map_rng)
-            fakes.insert(0, self.unpad(
-                self.g_apply(state.g_params, lr_img, z_opt)))
+            fakes.insert(0, gen(z_opt))
         fakes = [jax.lax.stop_gradient(f) for f in fakes]
 
         def d_loss_fn(d_params):
             d_vars = dict(state.d_vars, params=d_params, **d_stats)
             total = 0.0
-            pred_real, new_stats = self._d_forward(d_vars, ref, True)
+            # decomposed real input: the ref image re-expressed around the
+            # MAP fake's low-freq component (SRRaGAN_model.py:349)
+            real_in = ((fakes[0][0], ref - fakes[0][0]) if decomp else ref)
+            pred_real, new_stats = self._d_forward(d_vars, real_in, True)
             metrics = {}
             logits_diffs = []
             for i, fake in enumerate(fakes):
@@ -274,9 +298,20 @@ class SRRaGANTrainer:
                     l_fake = 2 * self._gan(pred_fake, False)
                 step_loss = (l_real + l_fake) / 2.0
                 if cfg.gan_type == 'wgan-gp':
-                    gp = L.gradient_penalty(
-                        lambda x: self._d_forward(d_vars, x, False)[0],
-                        ref, fake, gp_rngs[i])
+                    if decomp:
+                        # interp is a full image; the D sees it decomposed
+                        # around the fake's fixed low-freq component, so the
+                        # penalty grad flows only through interp - low
+                        # (SRRaGAN_model.py:367-369)
+                        low_i = fake[0]
+                        gp = L.gradient_penalty(
+                            lambda x, lo=low_i: self._d_forward(
+                                d_vars, (lo, x - lo), False)[0],
+                            ref, fake[0] + fake[1], gp_rngs[i])
+                    else:
+                        gp = L.gradient_penalty(
+                            lambda x: self._d_forward(d_vars, x, False)[0],
+                            ref, fake, gp_rngs[i])
                     step_loss = step_loss + cfg.gp_weight * gp
                     metrics[f'l_d_gp_{i}'] = gp
                 total = total + step_loss
@@ -390,7 +425,15 @@ class SRRaGANTrainer:
             new_stats = ratio_stats
             zs = ([(z_opt, True)] if dual else []) + [(z_static, False)]
             for z, is_opt in zs:
-                fake = self.unpad(self.g_apply(g_params, lr_img, z))
+                if cfg.decomposed_d:
+                    # non-adversarial losses see the summed image
+                    # (SRRaGAN_model.py:434,449); the D sees the pair
+                    low, high = self.g_apply_decomp(g_params, lr_img, z)
+                    low, high = self.unpad(low), self.unpad(high)
+                    fake = low + high
+                else:
+                    low = None
+                    fake = self.unpad(self.g_apply(g_params, lr_img, z))
                 if cfg.range_weight:
                     l_range = L.range_loss(fake, cfg.input_range)
                     total = total + cfg.range_weight * l_range / n_steps
@@ -416,9 +459,12 @@ class SRRaGANTrainer:
                     total = total + cfg.latent_weight * l_lat.mean()
                     metrics['l_g_latent'] = l_lat.mean()
                 if use_gan:
-                    pred_fake, _ = self._d_forward(state.d_vars, fake, False)
+                    d_in = (low, high) if cfg.decomposed_d else fake
+                    pred_fake, _ = self._d_forward(state.d_vars, d_in, False)
                     if cfg.relativistic:
-                        pred_real, _ = self._d_forward(state.d_vars, ref,
+                        real_in = ((low, ref - low) if cfg.decomposed_d
+                                   else ref)
+                        pred_real, _ = self._d_forward(state.d_vars, real_in,
                                                        False)
                         pred_real = jax.lax.stop_gradient(pred_real)
                         l_gan = (self._gan(pred_real - pred_fake.mean(),

@@ -34,7 +34,7 @@ def measure(fast_trunk: bool):
     s.open_image(img, is_hr=True)
     H = 256
     out = {}
-    for win_lr in (16,):
+    for win_lr in (16, 32, 48):
         w_hr = win_lr * 4
         y0 = (H - w_hr) // 2
         mask = np.zeros((H, H), np.float32)
@@ -57,9 +57,12 @@ def measure(fast_trunk: bool):
 if __name__ == '__main__':
     from exsr.utils.compile import enable_persistent_cache
     enable_persistent_cache()
-    # fast_trunk=True numbers are already committed (BENCH_EDIT_r03.json:
-    # 14.68 ms e2e at win 16); measure only the plain-concat variant.
-    # Pass 'both' to re-measure the grouped trunk in the same process.
-    if 'both' in sys.argv[1:]:
+    # Same-process A/B by default (one extra already-cached compile);
+    # 'plain-only' skips the grouped-trunk leg and compares against the
+    # committed BENCH_EDIT json — sensitive to machine/toolchain drift.
+    if 'plain-only' in sys.argv[1:]:
+        print('WARNING: baseline is the committed BENCH_EDIT json from a '
+              'different run', flush=True)
+    else:
         print(json.dumps({'fast': measure(True)}))
     print(json.dumps({'plain': measure(False)}))

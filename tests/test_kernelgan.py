@@ -78,3 +78,68 @@ def test_short_estimation_runs():
     k = kg.estimate(img)
     assert k.ndim == 2 and np.isfinite(k).all()
     assert abs(k.sum() - 1.0) < 1e-3
+
+
+@pytest.mark.slow
+def test_estimation_recovers_known_kernel():
+    """VERDICT-r3 next #4: end-to-end estimation quality against ground
+    truth.  An LR image is synthesized from a natural image with a KNOWN
+    anisotropic Gaussian x2 kernel (the degradation family of
+    KernelGAN/util.py gen_kernel); the full estimation must recover a
+    kernel whose (a) centered second moments match the true covariance
+    and (b) downscale action on the HR image matches the true kernel's —
+    the property the GUI's estimated-kernel CEM rebuild depends on
+    (GUI.py:1587-1606)."""
+    from exsr.kernelgan.kernelgan import (aniso_gaussian_kernel,
+                                          kernel_moments)
+    from PIL import Image
+    img = np.asarray(Image.open(
+        '/root/reference/Samples/face_GT_HR.png'))[:, :, :3] / 255.0
+
+    k_true = aniso_gaussian_kernel(13, 2.0, 0.8, 0.6, sf=2)
+    hr = jnp.asarray(img.astype(np.float32)).transpose(2, 0, 1)[..., None]
+    lr = jax.lax.conv_general_dilated(
+        hr, jnp.asarray(k_true.astype(np.float32))[:, :, None, None],
+        (2, 2), 'VALID', dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    lr_img = np.asarray(lr)[..., 0].transpose(1, 2, 0)
+
+    kg = KernelGAN(KernelGANConfig(max_iters=1500), seed=0)
+    k_rec = kg.estimate(lr_img)
+    assert np.isfinite(k_rec).all() and abs(k_rec.sum() - 1.0) < 1e-3
+
+    # (a) shape recovery: centered covariance within 35% of truth
+    _, cov_t = kernel_moments(k_true)
+    _, cov_r = kernel_moments(k_rec)
+    rel = np.abs(cov_r - cov_t).max() / np.abs(cov_t).max()
+    assert rel < 0.35, (cov_t.ravel(), cov_r.ravel())
+
+    # (b) operator action: downscaling HR with the recovered kernel must
+    # reproduce the true LR far better than the bicubic assumption does
+    def embed(k, size):
+        p = size - k.shape[0]
+        assert p >= 0 and p % 2 == 0, (k.shape, size)
+        return np.pad(k, p // 2)
+
+    size = max(k_true.shape[0], k_rec.shape[0])
+    size += (size - k_true.shape[0]) % 2
+
+    def action(k):
+        ke = embed(k, size + (size - k.shape[0]) % 2) \
+            if (size - k.shape[0]) % 2 else embed(k, size)
+        return np.asarray(jax.lax.conv_general_dilated(
+            hr, jnp.asarray(ke.astype(np.float32))[:, :, None, None],
+            (2, 2), 'VALID',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC')))[..., 0]
+
+    lr_t = action(k_true)
+    lr_r = action(k_rec)
+    m = min(lr_t.shape[1], lr_r.shape[1]) - 8
+    a, b = lr_t[:, 4:m, 4:m], lr_r[:, 4:m, 4:m]
+    mae_rec = np.abs(a - b).mean()
+    from exsr.kernelgan.kernelgan import BICUBIC_K8
+    bic = np.zeros((13, 13))
+    bic[2:10, 2:10] = BICUBIC_K8  # COM at 6.5: matches the sf=2 convention
+    lr_b = action(bic)
+    mae_bic = np.abs(lr_t[:, 4:m, 4:m] - lr_b[:, 4:m, 4:m]).mean()
+    assert mae_rec < 0.5 * mae_bic, (mae_rec, mae_bic)
+    assert mae_rec < 0.02, mae_rec

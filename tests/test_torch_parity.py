@@ -620,3 +620,64 @@ def test_msrresnet_converter_parity():
             .numpy().transpose(0, 2, 3, 1)
     out = np.asarray(fm.apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+# ------------------------------------------- official-weights parity recipe
+@pytest.mark.slow
+def test_official_parity_recipe_flagship_shape(tmp_path):
+    """VERDICT-r3 next #8: the one-command path from the paper's released
+    pretrained explorable G (codes/README.md:40-43) to its eval table —
+    `scripts official_parity` = convert_torch_g + eval_sr at Z=0 —
+    validated end-to-end on a synthetic .pth with the EXACT flagship
+    shape (nb=23, nf=64, gc=32, nz=3: the 17,060,948-param layout), so
+    real-weights parity is one command the day weights are available."""
+    import os
+    from PIL import Image
+
+    nb, nf, gc, nz = 23, 64, 32, 3
+    rng = np.random.default_rng(0)
+
+    def w(cin, cout):
+        return torch.from_numpy(
+            (rng.standard_normal((cout, cin, 3, 3)) * 0.03)
+            .astype(np.float32))
+
+    def put(state, key, cin, cout):
+        state[f'{key}.weight'] = w(cin, cout)
+        state[f'{key}.bias'] = torch.from_numpy(
+            np.zeros(cout, np.float32))
+
+    state = {}
+    put(state, 'model.0', nz + 3, nf)
+    for i in range(nb):
+        for r in (1, 2, 3):
+            for c in range(5):
+                cin = nz + nf + c * gc
+                cout = gc if c < 4 else nf
+                put(state, f'model.1.sub.{i}.RDB{r}.conv{c + 1}.0',
+                    cin, cout)
+    put(state, f'model.1.sub.{nb}', nz + nf, nf)
+    put(state, 'model.3', nf, nf)
+    put(state, 'model.6', nf, nf)
+    put(state, 'model.8', nz + nf, nf)
+    put(state, 'model.10', nz + nf, 3)
+    pth = str(tmp_path / 'flagship.pth')
+    torch.save(state, pth)
+    n_params = sum(v.numel() for v in state.values())
+    assert n_params == 17_060_948  # the reference count (PARITY.md)
+
+    hr_dir = tmp_path / 'set5ish'
+    hr_dir.mkdir()
+    for i in range(2):
+        arr = (rng.uniform(size=(64, 64, 3)) * 255).astype('uint8')
+        Image.fromarray(arr).save(hr_dir / f'im{i}.png')
+
+    from exsr.apps.scripts import official_parity
+    out_dir = str(tmp_path / 'parity')
+    summary = official_parity(pth, str(hr_dir), out_dir, nb=nb,
+                              latent_channels=nz, num_z=1)
+    assert summary['num_images'] == 2
+    assert np.isfinite(summary['avg_psnr'])
+    # the CEM consistency guarantee must hold through the converted model
+    assert summary['avg_consistency_mae'] < 5e-5
+    assert os.path.exists(os.path.join(out_dir, 'summary.json'))

@@ -288,6 +288,45 @@ def test_mesh_step_chain_keeps_state_replicated(tiny_setup):
 
 
 @pytest.mark.slow
+def test_decomposed_d_training(tiny_setup):
+    """network_D.decomposed_input: the D judges the CEM (low, high) pair —
+    fake pair to D, (fake_low, ref - fake_low) as the real pair, and the GP
+    interpolates the full image while the D sees it split around the fixed
+    low-freq component (SRRaGAN_model.py:84,330-332,349-369)."""
+    from exsr.models.discriminators import PatchGANDiscriminator
+    cem, trainer, g_params, _, lr_size, patch = tiny_setup
+    d_input = patch - 2 * cem.invalidity_margins_hr
+    d = PatchGANDiscriminator(ndf=8, n_layers=3, decomposed_input=True)
+    x0 = jnp.zeros((1, d_input, d_input, 3))
+    d_vars = dict(d.init(jax.random.PRNGKey(3), (x0, x0)))
+    filt = cem.device_filters(3)
+    g = RRDBNet(nb=1, nf=16, gc=8, latent_channels=3)
+    wrapped = cem_wrap(lambda p, x, z: g.apply(p, x, z), filt, upscale=4)
+    cfg = TrainConfig(optimal_z_iters=2, steps_4_loss_std=5,
+                      decomposed_d=True)
+    tr = SRRaGANTrainer(
+        cfg,
+        lambda p, x, z: wrapped(p, x, z, 0, pre_pad=False),
+        flax_d_adapter(d), margins_hr=cem.invalidity_margins_hr,
+        g_apply_decomp=lambda p, x, z: wrapped(p, x, z, 0, pre_pad=False,
+                                               decompose=True))
+    state = tr.init_state(g_params, d_vars, jax.random.PRNGKey(4))
+    batch = _batch(lr_size, patch, b=4)
+    state1, d_metrics = tr.d_step(state, batch, dual=True)
+    assert np.isfinite(float(d_metrics['l_d_total']))
+    assert np.isfinite(float(d_metrics['l_d_gp_0']))
+    delta = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         state.d_vars['params'], state1.d_vars['params'])
+    assert max(jax.tree.leaves(delta)) > 0
+    state2, g_metrics = tr.g_step(state1, batch, dual=True, use_gan=True)
+    for k in ('l_g_gan', 'l_g_latent', 'l_g_total'):
+        assert np.isfinite(float(g_metrics[k])), k
+    delta_g = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                           state1.g_params, state2.g_params)
+    assert max(jax.tree.leaves(delta_g)) > 0
+
+
+@pytest.mark.slow
 def test_train_sr_cli_end_to_end(tmp_path):
     """train_sr CLI at a tiny config: data -> compiled steps -> checkpoint
     -> logs.npz + PDF dashboards -> resume continues from the restored
