@@ -75,7 +75,8 @@ def main():
                 # chain cannot be hoisted (verify-skill timing trap)
                 def run(x, w):
                     def body(cr, _):
-                        return prog(x + 1e-6 * cr, w), None
+                        pert = (1e-6 * cr).astype(x.dtype)
+                        return prog(x + pert, w), None
                     r, _ = jax.lax.scan(body, jnp.float32(0), None,
                                         length=REPS)
                     return r
