@@ -127,6 +127,7 @@ def main(argv=None):
     ctl = GANController(d_update_ratio=10, d_valid_steps_4_g=10,
                         d_verification='past')
     os.makedirs(args.exp_dir, exist_ok=True)
+    from exsr.utils.misc import fetch_scalars
     from exsr.utils.logging import MetricLog
     mlog = MetricLog()
     log_path = os.path.join(args.exp_dir, 'logs.npz')
@@ -209,15 +210,16 @@ def main(argv=None):
                     and ctl.generator_started_learning)
             if ctl.want_d_step():
                 state, dm = trainer.d_step(state, b, dual=dual)
-                ctl.record_d({k: float(v) for k, v in dm.items()
+                dmf = fetch_scalars(dm)  # ONE device round-trip
+                ctl.record_d({k: v for k, v in dmf.items()
                               if np.ndim(v) == 0})
-                log_accum.update({k: float(v) for k, v in dm.items()
+                log_accum.update({k: v for k, v in dmf.items()
                                   if np.ndim(v) == 0})
             if ctl.want_g_step():
                 state, gm = trainer.g_step(state, b, dual=dual,
                                            use_gan=True)
                 ctl.record_g()
-                log_accum.update({k: float(v) for k, v in gm.items()
+                log_accum.update({k: v for k, v in fetch_scalars(gm).items()
                                   if np.ndim(v) == 0})
             state = trainer.advance(state)
             ctl.tick()
@@ -371,7 +373,8 @@ def _main_chroma(args):
             b = rules.shard_host_batch({'uncomp': batch['uncomp'],
                                         'qf': batch['qf']})
             state, metrics = trainer.step_fn(state, b, use_gan=True)
-            log_accum.update({k: float(v) for k, v in metrics.items()
+            log_accum.update({k: v for k, v
+                              in fetch_scalars(metrics).items()
                               if np.ndim(v) == 0})
             step = int(state.step)
             if step % args.print_freq == 0:

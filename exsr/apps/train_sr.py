@@ -78,6 +78,7 @@ def main(argv=None):
     from exsr.train.checkpoints import CheckpointManager
     from exsr.data.datasets import LRHRDataset, DataLoader
     from exsr.utils.metrics import calculate_psnr, crop_border
+    from exsr.utils.misc import fetch_scalars
     from exsr.utils.color import tensor2img
     from exsr.utils.logging import MetricLog, TensorboardWriter
 
@@ -316,16 +317,18 @@ def main(argv=None):
                 do_g = ctl.want_g_step()
             if do_d:
                 state, d_metrics = trainer.d_step(state, batch, dual=dual)
-                ctl.record_d({k: float(v) for k, v in d_metrics.items()
+                dm = fetch_scalars(d_metrics)  # ONE device round-trip
+                ctl.record_d({k: v for k, v in dm.items()
                               if np.ndim(v) == 0})
-                log_accum.update({k: float(v) for k, v in d_metrics.items()
+                log_accum.update({k: v for k, v in dm.items()
                                   if np.ndim(v) == 0})
             if do_g:
                 state, g_metrics = trainer.g_step(state, batch, dual=dual,
                                                   use_gan=not
                                                   args.init_phase)
                 ctl.record_g()
-                log_accum.update({k: float(v) for k, v in g_metrics.items()
+                log_accum.update({k: v for k, v
+                                  in fetch_scalars(g_metrics).items()
                                   if np.ndim(v) == 0})
             state = trainer.advance(state)
             ctl.tick()

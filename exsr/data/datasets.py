@@ -79,23 +79,44 @@ class LRHRDataset:
     use_rot: bool = True
     train: bool = True
     registry: KernelRegistry | None = None
+    # In-memory cache of the decoded full (hr, lr) pairs, byte-budgeted.
+    # Without it every access re-decodes the PNG AND re-runs the CEM
+    # downscale — measured ~97% of a small-config train step is host
+    # overhead, much of it here (the reference solves the same problem
+    # with its lmdb path, LRHR_dataset.py:20-37).  0 disables.
+    cache_bytes: int = 1 << 30
 
     def __post_init__(self):
         self.hr_paths = list_images(self.hr_root)
         self.lr_paths = list_images(self.lr_root) if self.lr_root else None
         if self.lr_paths:
             assert len(self.lr_paths) == len(self.hr_paths)
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._cache_used = 0
 
     def __len__(self):
         return len(self.hr_paths)
 
-    def __getitem__(self, idx: int, rng: np.random.Generator | None = None):
-        rng = rng or np.random.default_rng()
+    def _full_pair(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = self._cache.get(idx)
+        if hit is not None:
+            return hit
         hr = modcrop(read_img(self.hr_paths[idx]), self.scale)
         if self.lr_paths:
             lr = read_img(self.lr_paths[idx])
         else:
             lr = imresize(hr, 1.0 / self.scale, registry=self.registry)
+        sz = hr.nbytes + lr.nbytes
+        if self._cache_used + sz <= self.cache_bytes:
+            # no eviction: training accesses are uniform-random, so once
+            # the budget is full, swapping entries buys nothing
+            self._cache[idx] = (hr, lr)
+            self._cache_used += sz
+        return hr, lr
+
+    def __getitem__(self, idx: int, rng: np.random.Generator | None = None):
+        rng = rng or np.random.default_rng()
+        hr, lr = self._full_pair(idx)
         if self.train and self.patch_size:
             ps = self.patch_size
             lps = ps // self.scale

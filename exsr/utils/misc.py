@@ -184,3 +184,27 @@ def scribble_mask_components(scribble_mask: np.ndarray, mask: np.ndarray,
     tv_masks = [(mask * (scribble_mask == i)).astype(np.float32)
                 for i in tv_ids]
     return mult, l1_mask, tv_masks
+
+
+def fetch_scalars(metrics) -> dict:
+    """Fetch a dict of device scalars as host floats in ONE transfer.
+
+    Converting per-step training metrics with ``float(v)`` per entry costs
+    one device round-trip each — on a tunneled backend that was measured
+    at ~97% of a small-config train-step's wall time (the device step
+    itself enqueues in ~24 ms).  Stacking the scalars device-side first
+    (one eager op) turns ~10 round-trips into one.  Non-scalar entries
+    are passed through untouched.
+    """
+    import jax.numpy as jnp
+    keys = [k for k, v in metrics.items()
+            if getattr(v, 'ndim', np.ndim(v)) == 0]
+    if not keys:
+        return dict(metrics)
+    stacked = np.asarray(jnp.stack([jnp.asarray(metrics[k], jnp.float32)
+                                    for k in keys]))
+    out = {k: float(x) for k, x in zip(keys, stacked)}
+    for k, v in metrics.items():
+        if k not in out:
+            out[k] = v
+    return out
