@@ -229,3 +229,41 @@ def test_tensorboard_writer_optional(tmp_path):
     if w.active:
         files = os.listdir(str(tmp_path / 'tb'))
         assert any('tfevents' in f for f in files)
+
+
+def test_lrhr_dataset_cache_identical_and_immutable(image_dir):
+    """The in-memory full-image cache (r4 host-loop fix) must be
+    transparent: cached accesses return the same pairs as a cache-disabled
+    dataset, and augmented/cropped items must not alias (mutate) the
+    cached full images."""
+    ds_c = LRHRDataset(hr_root=image_dir, scale=4, patch_size=32,
+                       train=True)
+    ds_n = LRHRDataset(hr_root=image_dir, scale=4, patch_size=32,
+                       train=True, cache_bytes=0)
+    for i in range(len(ds_c)):
+        a = ds_c.__getitem__(i, rng=np.random.default_rng(i))
+        ds_c.__getitem__(i, rng=np.random.default_rng(99))  # warm + reuse
+        a2 = ds_c.__getitem__(i, rng=np.random.default_rng(i))
+        b = ds_n.__getitem__(i, rng=np.random.default_rng(i))
+        np.testing.assert_array_equal(a['hr'], b['hr'])
+        np.testing.assert_array_equal(a['lr'], b['lr'])
+        np.testing.assert_array_equal(a['hr'], a2['hr'])
+    assert ds_c._cache and ds_n._cache == {}
+    # mutating a returned item must not poison the cache
+    item = ds_c.__getitem__(0, rng=np.random.default_rng(3))
+    item['hr'][:] = -1
+    again = ds_c.__getitem__(0, rng=np.random.default_rng(3))
+    assert (again['hr'] >= 0).all()
+
+
+def test_fetch_scalars_one_shot():
+    import jax.numpy as jnp
+    from exsr.utils.misc import fetch_scalars
+    m = {'a': jnp.float32(1.5), 'b': jnp.int32(3),
+         'vec': jnp.zeros((4,)), 'c': 2.0}
+    out = fetch_scalars(m)
+    assert out['a'] == 1.5 and out['b'] == 3.0 and out['c'] == 2.0
+    assert isinstance(out['a'], float) and isinstance(out['c'], float)
+    assert out['vec'].shape == (4,)
+    assert fetch_scalars({}) == {}
+    assert fetch_scalars({'v': jnp.zeros((2,))})['v'].shape == (2,)
