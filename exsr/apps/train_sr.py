@@ -263,6 +263,14 @@ def main(argv=None):
         val_ds = LRHRDataset(hr_root=args.val_hr_dir, scale=cfg.scale,
                              train=False, patch_size=None)
 
+    # jitted val forward: the eager cem_wrap call dispatches ~300 ops per
+    # image over the tunnel (~25 ms RPC each — a 280px val pass measured
+    # ~100 s); one compiled program per val shape makes it ~0.5 s
+    @jax.jit
+    def _val_fwd(gp, lr_in, z):
+        return jnp.clip(wrapped(gp, lr_in, z, margins_lr, pre_pad=True),
+                        0, 1)
+
     def validate(step):
         psnrs, stds = [], []
         for i in range(min(len(val_ds), 8)):
@@ -272,10 +280,8 @@ def main(argv=None):
             outs = []
             for zval in ((0.0, -1.0, 1.0) if nz else (0.0,)):
                 z = np.full((1, zh[0], zh[1], nz), zval, np.float32)
-                out = wrapped(state.g_params, jnp.asarray(lr_in),
-                              jnp.asarray(z), margins_lr,
-                              pre_pad=True)
-                outs.append(np.asarray(jnp.clip(out, 0, 1)))
+                outs.append(np.asarray(_val_fwd(
+                    state.g_params, jnp.asarray(lr_in), jnp.asarray(z))))
             sr = tensor2img(outs[0])
             gt = tensor2img(item['hr'][None])
             psnrs.append(calculate_psnr(
