@@ -267,3 +267,23 @@ def test_fetch_scalars_one_shot():
     assert out['vec'].shape == (4,)
     assert fetch_scalars({}) == {}
     assert fetch_scalars({'v': jnp.zeros((2,))})['v'].shape == (2,)
+
+
+def test_serve_bucket_policy():
+    """best_bucket jumps past absolutely-slower intermediate buckets (the
+    v5e b64>b128 inversion) and pad_batch round-trips."""
+    from exsr.utils.serve import best_bucket, pad_batch
+    t = {32: 446.0, 64: 864.0, 128: 792.0}
+    assert best_bucket(8, t) == 32
+    assert best_bucket(32, t) == 32
+    assert best_bucket(33, t) == 128   # 128 is faster than 64 in absolute ms
+    assert best_bucket(64, t) == 128
+    assert best_bucket(128, t) == 128
+    assert best_bucket(200, t) == 200  # beyond the table: run as-is
+    assert best_bucket(5, {}) == 5     # no table: identity
+    a = np.ones((3, 4, 4, 3), np.float32)
+    (p,), n = pad_batch([a], 8)
+    assert p.shape == (8, 4, 4, 3) and n == 3
+    assert (p[:3] == 1).all() and (p[3:] == 0).all()
+    (q,), n2 = pad_batch([a], 2)
+    assert q.shape[0] == 3 and n2 == 3
