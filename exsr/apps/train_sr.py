@@ -341,10 +341,17 @@ def main(argv=None):
 
             if ctl.step % cfg.steps_4_loss_std == 0:
                 rollback, too_low = ctl.check_lr_drop()
+                if ctl.log['D_loss_STD']:
+                    # persist the rollback-decision series (the reference
+                    # logs it too, SRRaGAN_model.py:608-616) — the armed
+                    # threshold comparison must be auditable post-run
+                    s_, v_ = ctl.log['D_loss_STD'][-1]
+                    mlog.append(s_, D_loss_STD=v_)
                 if too_low:
                     print('LR below 1e-8 — stopping (instability).')
                     return
                 if rollback:
+                    mlog.append(ctl.step, rollback_lr_scale=ctl.lr_scale)
                     back_step, state = ckpts.restore_before(
                         state, ctl.step - cfg.steps_4_loss_std)
                     # the halved scale applies to the compiled steps as a
