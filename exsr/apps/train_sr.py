@@ -78,7 +78,7 @@ def main(argv=None):
     from exsr.train.checkpoints import CheckpointManager
     from exsr.data.datasets import LRHRDataset, DataLoader
     from exsr.utils.metrics import calculate_psnr, crop_border
-    from exsr.utils.misc import fetch_scalars
+    from exsr.utils.misc import fetch_scalars, stage_scalars, read_scalars
     from exsr.utils.color import tensor2img
     from exsr.utils.logging import MetricLog, TensorboardWriter
 
@@ -308,12 +308,36 @@ def main(argv=None):
     t0 = time.time()
     epoch = 0
     log_accum = {}
+    pending = (None, None)   # staged (d, g) metrics of the previous step
+
+    def apply_pending():
+        d_st, g_st = pending
+        if d_st is not None:
+            dm = read_scalars(d_st)
+            ctl.record_d({k: v for k, v in dm.items()
+                          if np.ndim(v) == 0})
+            log_accum.update({k: v for k, v in dm.items()
+                              if np.ndim(v) == 0})
+        if g_st is not None:
+            log_accum.update({k: v for k, v in read_scalars(g_st).items()
+                              if np.ndim(v) == 0})
+            ctl.record_g()
+    # per-phase wall-time accounting (printed as t_* ms/step with each
+    # print_freq line): separates device-step enqueue, the one metric
+    # fetch, and data feed — the three places a tunneled backend hides
+    # per-step latency (this instrumentation found the 97%-host-overhead
+    # regression the r4 fixes removed)
+    tacc = {'t_data': 0.0, 't_step': 0.0, 't_fetch': 0.0}
+    _tlast = time.perf_counter()
     while ctl.step < cfg.niter:
         for batch in loader.epoch(epoch):
             if ctl.step >= cfg.niter:
                 break
             batch = rules.shard_batch(
                 {'lr': batch['lr'], 'hr': batch['hr']})
+            _tn = time.perf_counter()
+            tacc['t_data'] += _tn - _tlast
+            _tlast = _tn
             dual = (cfg.optimal_z_weight is not None
                     and ctl.generator_started_learning)
             if args.init_phase:
@@ -321,21 +345,30 @@ def main(argv=None):
             else:
                 do_d = ctl.want_d_step()
                 do_g = ctl.want_g_step()
+            d_staged = g_staged = None
             if do_d:
                 state, d_metrics = trainer.d_step(state, batch, dual=dual)
-                dm = fetch_scalars(d_metrics)  # ONE device round-trip
-                ctl.record_d({k: v for k, v in dm.items()
-                              if np.ndim(v) == 0})
-                log_accum.update({k: v for k, v in dm.items()
-                                  if np.ndim(v) == 0})
+                d_staged = stage_scalars(d_metrics)
             if do_g:
                 state, g_metrics = trainer.g_step(state, batch, dual=dual,
                                                   use_gan=not
                                                   args.init_phase)
-                ctl.record_g()
-                log_accum.update({k: v for k, v
-                                  in fetch_scalars(g_metrics).items()
-                                  if np.ndim(v) == 0})
+                g_staged = stage_scalars(g_metrics)
+            _tn = time.perf_counter()
+            tacc['t_step'] += _tn - _tlast
+            _tlast = _tn
+            # pipelined metric recording: step t+1 is already enqueued
+            # when step t's one-transfer fetch materializes, so the
+            # tunnel round-trip overlaps device compute (measured 355 ms
+            # synchronous -> ~RTT-free).  Controller gating therefore
+            # sees records one step staler than the reference's
+            # synchronous loop — the 10-consecutive-step verification
+            # windows open at most one step later.
+            apply_pending()
+            pending = (d_staged, g_staged)
+            _tn = time.perf_counter()
+            tacc['t_fetch'] += _tn - _tlast
+            _tlast = _tn
             state = trainer.advance(state)
             ctl.tick()
 
@@ -364,6 +397,9 @@ def main(argv=None):
                 log_accum['steps_per_s'] = args.print_freq / max(
                     time.time() - t0, 1e-9)
                 t0 = time.time()
+                for k in tacc:
+                    log_accum[k + '_ms'] = 1e3 * tacc[k] / args.print_freq
+                    tacc[k] = 0.0
                 print(json.dumps({'step': ctl.step, **{
                     k: round(v, 5) for k, v in log_accum.items()}}))
                 mlog.append(ctl.step, **log_accum)
@@ -375,6 +411,8 @@ def main(argv=None):
             ckpts.save(ctl.step, state,
                        controller_state=_ctl_snapshot())
         epoch += 1
+    apply_pending()
+    pending = (None, None)
     ckpts.save(ctl.step, state, force=True,
                controller_state=_ctl_snapshot())
     ckpts.wait()

@@ -208,3 +208,37 @@ def fetch_scalars(metrics) -> dict:
         if k not in out:
             out[k] = v
     return out
+
+
+def stage_scalars(metrics):
+    """Begin an async one-transfer fetch of a dict of device scalars.
+
+    Device-side: stacks the scalar entries into one array (a single
+    enqueued op) and starts its host copy (``copy_to_host_async``), so a
+    later :func:`read_scalars` overlaps the tunnel round-trip with
+    whatever the caller enqueues in between — the pipelined-metrics
+    pattern the train CLIs use (enqueue step t+1, then read step t).
+    """
+    import jax.numpy as jnp
+    keys = [k for k, v in metrics.items()
+            if getattr(v, 'ndim', np.ndim(v)) == 0]
+    stacked = None
+    if keys:
+        stacked = jnp.stack([jnp.asarray(metrics[k], jnp.float32)
+                             for k in keys])
+        try:
+            stacked.copy_to_host_async()
+        except AttributeError:
+            pass
+    rest = {k: v for k, v in metrics.items() if k not in set(keys)}
+    return keys, stacked, rest
+
+
+def read_scalars(staged) -> dict:
+    """Materialize a :func:`stage_scalars` handle into host floats."""
+    keys, stacked, rest = staged
+    out = dict(rest)
+    if keys:
+        vals = np.asarray(stacked)
+        out.update({k: float(x) for k, x in zip(keys, vals)})
+    return out
