@@ -127,7 +127,8 @@ def main(argv=None):
     ctl = GANController(d_update_ratio=10, d_valid_steps_4_g=10,
                         d_verification='past')
     os.makedirs(args.exp_dir, exist_ok=True)
-    from exsr.utils.misc import fetch_scalars
+    from exsr.utils.misc import (fetch_scalars, stage_scalars,
+                                 read_scalars)
     from exsr.utils.logging import MetricLog
     mlog = MetricLog()
     log_path = os.path.join(args.exp_dir, 'logs.npz')
@@ -200,6 +201,21 @@ def main(argv=None):
     t0 = time.time()
     epoch = 0
     log_accum = {}
+    pending = (None, None)   # staged (d, g) metrics of the previous step
+
+    def apply_pending():
+        d_st, g_st = pending
+        if d_st is not None:
+            dm = read_scalars(d_st)
+            ctl.record_d({k: v for k, v in dm.items()
+                          if np.ndim(v) == 0})
+            log_accum.update({k: v for k, v in dm.items()
+                              if np.ndim(v) == 0})
+        if g_st is not None:
+            log_accum.update({k: v for k, v in read_scalars(g_st).items()
+                              if np.ndim(v) == 0})
+            ctl.record_g()
+
     while ctl.step < cfg.niter:
         for batch in loader.epoch(epoch):
             if ctl.step >= cfg.niter:
@@ -208,19 +224,20 @@ def main(argv=None):
                                         'qf': batch['qf']})
             dual = (cfg.optimal_z_weight is not None
                     and ctl.generator_started_learning)
+            d_staged = g_staged = None
             if ctl.want_d_step():
                 state, dm = trainer.d_step(state, b, dual=dual)
-                dmf = fetch_scalars(dm)  # ONE device round-trip
-                ctl.record_d({k: v for k, v in dmf.items()
-                              if np.ndim(v) == 0})
-                log_accum.update({k: v for k, v in dmf.items()
-                                  if np.ndim(v) == 0})
+                d_staged = stage_scalars(dm)
             if ctl.want_g_step():
                 state, gm = trainer.g_step(state, b, dual=dual,
                                            use_gan=True)
-                ctl.record_g()
-                log_accum.update({k: v for k, v in fetch_scalars(gm).items()
-                                  if np.ndim(v) == 0})
+                g_staged = stage_scalars(gm)
+            # pipelined metric recording (see train_sr): step t+1 is
+            # enqueued before step t's one-transfer fetch materializes,
+            # overlapping the tunnel round-trip with device compute;
+            # gating sees records one step staler
+            apply_pending()
+            pending = (d_staged, g_staged)
             state = trainer.advance(state)
             ctl.tick()
             if ctl.step % args.print_freq == 0:
@@ -234,6 +251,8 @@ def main(argv=None):
                 validate(state)
             ckpts.save(ctl.step, state, controller_state=_ctl_snapshot())
         epoch += 1
+    apply_pending()
+    pending = (None, None)
     ckpts.save(ctl.step, state, controller_state=_ctl_snapshot(),
                force=True)
     ckpts.wait()
@@ -363,6 +382,7 @@ def _main_chroma(args):
         print(json.dumps(rec))
         mlog.append(step, psnr_chroma_val=rec['psnr_chroma_val'])
 
+    from exsr.utils.misc import fetch_scalars as _fs
     t0 = time.time()
     epoch = 0
     log_accum = {}
@@ -373,8 +393,7 @@ def _main_chroma(args):
             b = rules.shard_host_batch({'uncomp': batch['uncomp'],
                                         'qf': batch['qf']})
             state, metrics = trainer.step_fn(state, b, use_gan=True)
-            log_accum.update({k: v for k, v
-                              in fetch_scalars(metrics).items()
+            log_accum.update({k: v for k, v in _fs(metrics).items()
                               if np.ndim(v) == 0})
             step = int(state.step)
             if step % args.print_freq == 0:
