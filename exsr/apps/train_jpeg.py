@@ -127,8 +127,7 @@ def main(argv=None):
     ctl = GANController(d_update_ratio=10, d_valid_steps_4_g=10,
                         d_verification='past')
     os.makedirs(args.exp_dir, exist_ok=True)
-    from exsr.utils.misc import (fetch_scalars, stage_scalars,
-                                 read_scalars)
+    from exsr.utils.misc import stage_scalars, read_scalars
     from exsr.utils.logging import MetricLog
     mlog = MetricLog()
     log_path = os.path.join(args.exp_dir, 'logs.npz')

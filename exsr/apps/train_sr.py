@@ -78,7 +78,7 @@ def main(argv=None):
     from exsr.train.checkpoints import CheckpointManager
     from exsr.data.datasets import LRHRDataset, DataLoader
     from exsr.utils.metrics import calculate_psnr, crop_border
-    from exsr.utils.misc import fetch_scalars, stage_scalars, read_scalars
+    from exsr.utils.misc import stage_scalars, read_scalars
     from exsr.utils.color import tensor2img
     from exsr.utils.logging import MetricLog, TensorboardWriter
 
