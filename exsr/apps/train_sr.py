@@ -57,6 +57,13 @@ def main(argv=None):
                         'perceptual feature loss when the config sets '
                         'feature_weight (train_esrgan.json); seeded '
                         'random VGG when omitted')
+    p.add_argument('--warm_g',
+                   help='warm-start the generator from an export_g '
+                        '{"g_params"} checkpoint dir (or a full train-state '
+                        'ckpt) with fresh D/optimizers — the reference\'s '
+                        'path.pretrained_model_G load (base_model.py:146-190,'
+                        ' train_explorable_SR.json:40); ignored when '
+                        '--resume finds checkpoints')
     p.add_argument('--init_phase', action='store_true',
                    help='pixel+range pretraining (no GAN/D) — the '
                         'zero-egress stand-in for the reference\'s '
@@ -253,6 +260,17 @@ def main(argv=None):
             # max-step truncation, SRRaGAN_model.py:654-675)
             mlog.load(log_path, max_step=ctl.step)
         print(f'resumed at step {ctl.step}')
+    elif args.warm_g:
+        # pretrained-G warm start with fresh D/optimizers — the
+        # reference's path.pretrained_model_G load (base_model.py:146-190)
+        raw = CheckpointManager(
+            os.path.abspath(args.warm_g)).restore_raw()
+        gp = raw.get('g_params', raw)
+        state = state.replace(g_params=jax.tree.map(
+            lambda new, old: jax.device_put(
+                jnp.asarray(new, old.dtype), old.sharding),
+            gp, state.g_params))
+        print(f'warm-started G from {args.warm_g}')
 
     ds = LRHRDataset(hr_root=args.hr_dir, lr_root=args.lr_dir,
                      scale=cfg.scale, patch_size=cfg.patch_size,

@@ -97,7 +97,19 @@ class DiscriminatorVGG128(nn.Module):
             x = x.reshape(x.shape[0], -1)
             x = nn.leaky_relu(nn.Dense(100)(x), 0.2)
             return nn.Dense(1)(x)
-        # patch head: conv k=8 VALID (+BN+lrelu), lrelu, 1x1 conv head
+        # patch head: conv k=8 VALID (+BN+lrelu), lrelu, 1x1 conv head.
+        # DELIBERATE DEVIATION: the reference builds pseudo_FC_conv1 with
+        # norm_type/act_type too (architecture.py:501), so with
+        # norm_type='batch' the FINAL LOGIT is batch-normalized — which
+        # pins the batch mean of D's output and makes real/fake means
+        # inseparable under ANY GAN loss (measured: D_logits_diff stays
+        # ~0.003 for 11k wgan-gp steps; scripts_dev/probe_d_learn.py shows
+        # the same head cannot separate even trivially different
+        # distributions at any LR, while this fixed head separates in a
+        # few hundred steps). The reference never exercises that path (its
+        # configs all use num_2_strides=5 -> FC head), so the flaw is
+        # latent upstream; the logit conv here is norm/act-free, matching
+        # every working critic head in the codebase (FC head, PatchGAN).
         assert size >= 8, (
             f'feature map {size}x{size} too small for the 8x8 patch head — '
             f'use fewer stride-2 stages or a larger input patch')
@@ -105,7 +117,8 @@ class DiscriminatorVGG128(nn.Module):
         x = ConvBlock(min(100, nf_last), kernel=8, padding=0,
                       name='pseudo_fc0')(x, train)
         x = nn.leaky_relu(x, 0.2)
-        x = ConvBlock(1, kernel=1, name='pseudo_fc1')(x, train)
+        x = ConvBlock(1, kernel=1, norm=False, act=False,
+                      name='pseudo_fc1')(x, train)
         return x
 
 

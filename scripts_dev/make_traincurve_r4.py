@@ -1,9 +1,11 @@
 """Assemble TRAINCURVE_r04.json + artifacts/run50k_r4 from the 50k-step
 run (VERDICT-r3 next #3): the reduced-width flagship-shaped config run
 past the reference's first MultiStepLR milestone at 50k steps, with
-std_4_lr_drop=1.6 armed and a clean stop + --resume at 30k.
+std_4_lr_drop=1.6 armed and two clean stop + --resume cycles (at 30k,
+and at 39k where lr_D was raised to the reference's documented original
+1e-4 — see scripts_dev/run50k2.sh).
 
-Run after scripts_dev/run50k.sh completes:
+Run after scripts_dev/run50k2.sh completes:
     python scripts_dev/make_traincurve_r4.py
 """
 import json
@@ -24,7 +26,7 @@ def series(d, k, rnd=3, every=1):
 
 
 def main():
-    exp = os.path.join(ROOT, 'experiments/run50k')
+    exp = os.path.join(ROOT, 'experiments/run50k2')
     art = os.path.join(ROOT, 'artifacts/run50k_r4')
     os.makedirs(art, exist_ok=True)
     d = np.load(os.path.join(exp, 'logs.npz'), allow_pickle=True)
@@ -50,14 +52,21 @@ def main():
                  'TPU v5e via the train_sr CLI, with the D-loss-STD '
                  'instability rollback ARMED at the reference\'s tuned '
                  'value (std_4_lr_drop=1.6, the 1e6 shipped default '
-                 'disables it) and a clean stop + --resume at 30k '
-                 'exercising cross-process resume mid-GAN-phase.'),
+                 'disables it) and clean stop + --resume cycles at 30k '
+                 'and 39k exercising cross-process resume mid-GAN-phase.'),
         'config': ('reduced-width flagship-shaped: nb=8 nf=32 G (CEM-'
-                   'wrapped, dual MAP+static step), VGG-D nf=32, HR '
-                   'patch 128, batch 16, wgan-gp, D_update_ratio 10, '
-                   'D_verification=past. Flagship width runs 0.41 '
-                   'GAN-step/s on one chip (34 h to 50k) - out of '
-                   'reach in-round; every code path is identical.'),
+                   'wrapped, dual MAP+static step), patch-head VGG-D '
+                   'nf=32 num_2_strides=2, HR patch 128, batch 16, '
+                   'wgan-gp, D_update_ratio 10, D_verification=past. '
+                   'Flagship width runs 0.41 GAN-step/s on one chip '
+                   '(34 h to 50k) - out of reach in-round; every code '
+                   'path is identical. G warm-started (--warm_g) from '
+                   'the first attempt\'s 2000-step init phase; lr_D '
+                   'raised 1e-5 -> 1e-4 (the reference\'s documented '
+                   'original, train_explorable_SR.json:74) at the 39k '
+                   'resume after the past-gate never opened at 1e-5 '
+                   '(D honest but ~0.85 mean accuracy vs the all-of-'
+                   'last-10 > 0.9 bar).'),
         'final_step': final_step,
         'init_phase_steps': 2000,
         'gate_opened_step': gate_open,

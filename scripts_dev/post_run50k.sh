@@ -1,15 +1,15 @@
 #!/bin/bash
-# After scripts_dev/run50k_resume.sh completes: assemble the r4 training
+# After scripts_dev/run50k2.sh completes: assemble the r4 training
 # artifact and the trained-model eval table (VERDICT-r3 #3 Done criteria).
 set -e
 cd /root/repo
 echo "=== traincurve artifact $(date)"
 python scripts_dev/make_traincurve_r4.py
 echo "=== export_g $(date)"
-python -m exsr.apps.scripts export_g experiments/run50k/ckpt \
-    experiments/run50k/g_export
+python -m exsr.apps.scripts export_g experiments/run50k2/ckpt \
+    experiments/run50k2/g_export
 echo "=== eval table (Z=0 + diversity sweep) $(date)"
-python -m exsr.apps.eval_sr --opt experiments/run50k/opt.json \
-    --hr_dir experiments/data/val --checkpoint experiments/run50k/g_export \
+python -m exsr.apps.eval_sr --opt experiments/run50k2/opt.json \
+    --hr_dir experiments/data/val --checkpoint experiments/run50k2/g_export \
     --num_z 5 --out_dir artifacts/run50k_r4/eval --save_images
 echo "=== done $(date)"

@@ -5,9 +5,16 @@ The 50k run's D sat at Correctly_distinguished~0.5 / D_logits_diff~0.003
 for 11k steps (lr_D=1e-5, wgan-gp, DiscriminatorVGG128 nf=32 nb=10
 strides=2 on 48x48 inputs). This isolates {D arch + loss + optimizer}
 from the SR task: real = smooth gradients, fake = same + strong noise.
-If the D can't separate THESE in a few hundred steps, the machinery is
-broken; if it can at 1e-4 but not 1e-5, the run needs the reference's
-original lr_D=1e-4 (train_explorable_SR.json:74 comment).
+
+FINDING (2026-08-19): with the pre-fix patch head — final 1x1 logit conv
+followed by BatchNorm+lrelu, faithful to the reference's pseudo_FC_conv1
+(architecture.py:501) — the probe could NOT separate these trivially
+different distributions at ANY learning rate (diff pinned at ~+-0.005,
+correct ~0.5 at lr 1e-5 AND 1e-4 after 400 steps): a batch-stat BN on
+the logit pins the batch mean, so real/fake means are structurally
+inseparable. The fixed head (norm/act-free logit conv,
+discriminators.py pseudo_fc1) separates within ~100 steps. The FC head
+(num_2_strides=5) never had the flaw — both are probed below.
 
 Run: JAX_PLATFORMS=cpu python scripts_dev/probe_d_learn.py
 """
@@ -41,8 +48,9 @@ def make_batch(rng):
     return real, fake, k3
 
 
-def main():
-    d = DiscriminatorVGG128(base_nf=32, nb=10, num_2_strides=2,
+def run(num_2_strides):
+    d = DiscriminatorVGG128(base_nf=32, nb=10,
+                            num_2_strides=num_2_strides,
                             input_patch_size=D_IN)
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((1, D_IN, D_IN, 3))
@@ -86,14 +94,15 @@ def main():
             return params2, dict(new_stats), opt_state2, rng, diff, corr
 
         rng_i = jax.random.PRNGKey(1)
-        print(f'--- lr_D={lr}')
+        print(f'--- num_2_strides={num_2_strides} lr_D={lr}')
         for i in range(401):
             params, stats, opt_state, rng_i, diff, corr = step(
                 params, stats, opt_state, rng_i)
             if i % 50 == 0:
                 print(f'step {i:4d} diff={float(diff):+.5f} '
-                      f'correct={float(corr):.3f}')
+                      f'correct={float(corr):.3f}', flush=True)
 
 
 if __name__ == '__main__':
-    main()
+    for s in (2, 5):
+        run(s)

@@ -1,0 +1,34 @@
+#!/bin/bash
+# VERDICT-r3 next #3, take 2: the long training run. The first attempt
+# (run50k.sh) trained D-only for 11k steps with the verification gate
+# never opening — root-caused to the reference-faithful patch head
+# batch-normalizing the FINAL critic logit (architecture.py:501; see
+# scripts_dev/probe_d_learn.py and discriminators.py pseudo_fc1). This
+# restart keeps the same reduced-width flagship-shaped config (CEM-wrapped
+# RRDB G + dual MAP/static G step, wgan-gp patch-head D now with a clean
+# logit, D-verification gating, MultiStepLR [50k,...], std_4_lr_drop=1.6
+# armed) and warm-starts the 2000-step init-phase G from the first run
+# (G never stepped in its GAN phase, so nothing is lost). A clean stop +
+# --resume at 30k exercises cross-process resume on a real run.
+set -e
+cd /root/repo
+OPT=experiments/run50k2/opt.json
+DIRS="--hr_dir experiments/data/train --val_hr_dir experiments/data/val"
+EXP="--exp_dir experiments/run50k2"
+COMMON="--opt $OPT $DIRS $EXP --val_freq 250 --ckpt_freq 1000 --print_freq 100"
+
+echo "=== GAN phase to 30000 $(date)"
+python -m exsr.apps.train_sr $COMMON --warm_g experiments/run50k2/g_init --niter 30000
+echo "=== resumed GAN phase to 52000 $(date)"
+python -m exsr.apps.train_sr $COMMON --niter 52000 --resume
+echo "=== done $(date)"
+
+# INTERVENTION at step 39000: with the patch-head D (num_2_strides=2) at
+# the config's lr_D=1e-5 the verification gate never opened in 39k steps —
+# D separated honestly (D_logits_diff grew 0.0->~0.45, correct ~0.85) but
+# the 'past' gate needs ALL of the last 10 D-steps above 0.9 (=15/16 at
+# batch 16), which a 0.85-mean critic essentially never sustains. The
+# reference's own config documents lr_D=1e-4 as the original value
+# (train_explorable_SR.json:74 '//1e-4'); opt.json was edited to 1e-4 and
+# the run resumed from ckpt 39000 (same adam state, LR is schedule-side):
+#   python -m exsr.apps.train_sr $COMMON --niter 52000 --resume

@@ -63,6 +63,22 @@ def test_discriminator_vgg128_patch_head():
     assert out.ndim == 4 and out.shape[-1] == 1
 
 
+def test_discriminator_vgg128_patch_head_logit_is_norm_free():
+    """Regression for the 50k-run root cause: the final 1x1 logit conv of
+    the patch head must carry NO BatchNorm (a batch-stat norm on the
+    logit pins the batch mean, making real/fake means structurally
+    inseparable under any GAN loss — scripts_dev/probe_d_learn.py). The
+    reference builds pseudo_FC_conv1 WITH norm_type (architecture.py:501)
+    but never exercises it (its configs use num_2_strides=5 -> FC head);
+    this is a documented deliberate deviation (discriminators.py)."""
+    d = DiscriminatorVGG128(nb=6, num_2_strides=3, input_patch_size=64)
+    variables = d.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    assert 'pseudo_fc1' in variables['params']
+    assert 'bn' not in variables['params']['pseudo_fc1']
+    assert not any(k.startswith('pseudo_fc1')
+                   for k in variables.get('batch_stats', {}))
+
+
 def test_patchgan_decomposed():
     d = PatchGANDiscriminator(n_layers=3, decomposed_input=True,
                               pre_clipping=True)

@@ -422,6 +422,47 @@ def test_train_sr_cli_init_phase(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_sr_cli_warm_g(tmp_path):
+    """--warm_g: pretrained-G warm start with fresh D/optimizers — the
+    reference's path.pretrained_model_G load (base_model.py:146-190,
+    train_explorable_SR.json). Round-trips through scripts export_g and
+    asserts the new run's G params are EXACTLY the exported ones (the
+    first GAN-phase steps are D-only while the verification gate is
+    closed, so G must be untouched after 1 step)."""
+    import os
+    from PIL import Image
+    rng = np.random.default_rng(7)
+    hr_dir = tmp_path / 'hr'
+    hr_dir.mkdir()
+    for i in range(2):
+        arr = (rng.uniform(size=(128, 128, 3)) * 255).astype('uint8')
+        Image.fromarray(arr).save(hr_dir / f'im{i}.png')
+    base = ['--hr_dir', str(hr_dir), '--scale', '4', '--patch', '112',
+            '--batch', '2', '--nb', '1', '--nf', '8', '--d_nb', '4',
+            '--d_nf', '8', '--d_strides', '1', '--print_freq', '1',
+            '--ckpt_freq', '1']
+    from exsr.apps.train_sr import main
+    exp1 = str(tmp_path / 'exp1')
+    main(base + ['--exp_dir', exp1, '--init_phase', '--niter', '2'])
+    from exsr.apps.scripts import export_g
+    gdir = str(tmp_path / 'g_export')
+    export_g(os.path.join(exp1, 'ckpt'), gdir)
+    exp2 = str(tmp_path / 'exp2')
+    main(base + ['--exp_dir', exp2, '--warm_g', gdir, '--niter', '1'])
+    from exsr.train.checkpoints import CheckpointManager
+    import jax
+    exported = CheckpointManager(gdir).restore_raw()['g_params']
+    got = CheckpointManager(
+        os.path.join(exp2, 'ckpt')).restore_raw()['g_params']
+    deltas = jax.tree.map(lambda a, b: float(np.abs(a - b).max()),
+                          exported, got)
+    assert max(jax.tree.leaves(deltas)) == 0.0
+    # and the warm start is ignored under --resume
+    main(base + ['--exp_dir', exp2, '--warm_g', gdir, '--niter', '2',
+                 '--resume'])
+
+
+@pytest.mark.slow
 def test_train_jpeg_cli_end_to_end(tmp_path):
     """train_jpeg CLI at a tiny config: data -> compiled steps ->
     checkpoint -> logs.npz + validation (train_JPEG.py:20-152 surface)."""
