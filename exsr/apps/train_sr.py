@@ -109,6 +109,8 @@ def main(argv=None):
         use_cem = net_g.cem_arch
         if exp.network_d.n_layers and args.d_nb == p.get_default('d_nb'):
             args.d_nb = exp.network_d.n_layers
+        if exp.network_d.nf and args.d_nf == p.get_default('d_nf'):
+            args.d_nf = exp.network_d.nf
         if exp.network_d.num_2_strides is not None and \
                 args.d_strides == p.get_default('d_strides'):
             args.d_strides = exp.network_d.num_2_strides

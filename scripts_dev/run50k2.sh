@@ -23,12 +23,29 @@ echo "=== resumed GAN phase to 52000 $(date)"
 python -m exsr.apps.train_sr $COMMON --niter 52000 --resume
 echo "=== done $(date)"
 
-# INTERVENTION at step 39000: with the patch-head D (num_2_strides=2) at
-# the config's lr_D=1e-5 the verification gate never opened in 39k steps —
-# D separated honestly (D_logits_diff grew 0.0->~0.45, correct ~0.85) but
-# the 'past' gate needs ALL of the last 10 D-steps above 0.9 (=15/16 at
-# batch 16), which a 0.85-mean critic essentially never sustains. The
-# reference's own config documents lr_D=1e-4 as the original value
-# (train_explorable_SR.json:74 '//1e-4'); opt.json was edited to 1e-4 and
-# the run resumed from ckpt 39000 (same adam state, LR is schedule-side):
+# INTERVENTION 1 at step 39000: with the patch-head D (num_2_strides=2)
+# at the config's lr_D=1e-5 the verification gate never opened in 39k
+# steps — D separated honestly (D_logits_diff grew 0.0->~0.45, correct
+# ~0.85) but the 'past' gate needs ALL of the last 10 D-steps above 0.9
+# (=15/16 at batch 16), which a 0.85-mean critic essentially never
+# sustains. The reference's own config documents lr_D=1e-4 as the
+# original value (train_explorable_SR.json:74 '//1e-4'); opt.json was
+# edited to 1e-4 and the run resumed from ckpt 39000.
+#
+# OUTCOME: the 10x LR jump DIVERGED the critic within ~1k steps —
+# D_real ~= D_fake collapsed onto one inflating value (diff ~0, |D| and
+# the gradient penalty growing monotonically), a symmetric mode the
+# D-loss-STD rollback detector cannot see (std of (l_d_real+l_d_fake)/2
+# cancels when the outputs are symmetric; it stayed ~0.005, far below
+# the 1.6 trigger). Orbax max_to_keep=3 had pruned ckpt 39000 by
+# diagnosis time, so no pre-divergence restore point existed.
+#
+# INTERVENTION 2 at step 42000 (scripts_dev/reinit_d_42000.py): G never
+# stepped in the GAN phase (gate closed throughout), so the G side of
+# every checkpoint is identical and clean; the step-42000 checkpoint was
+# rebuilt with the restored G side + a FRESH D switched to the
+# reference's actual flagship configuration — FC head (default
+# num_2_strides=5, architecture.py:447) nf=64 — whose gate demonstrably
+# opens at the reference lr_D=1e-5 (r3: gate at step 4300). lr_D
+# restored to 1e-5; resumed:
 #   python -m exsr.apps.train_sr $COMMON --niter 52000 --resume
