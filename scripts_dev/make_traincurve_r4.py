@@ -18,10 +18,16 @@ import numpy as np
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def series(d, k, rnd=3, every=1):
+def series(d, k, rnd=3, every=1, dedupe=False):
     if k not in d.files:
         return []
     pts = [[int(s), round(float(v), rnd)] for s, v in d[k]]
+    if dedupe:
+        # collapse constant stretches (the 46k-step D-only phase logs the
+        # same val PSNR at every pass): keep change points + endpoints
+        kept = [p for i, p in enumerate(pts)
+                if i in (0, len(pts) - 1) or p[1] != pts[i - 1][1]]
+        return kept
     return pts[::every] if every > 1 else pts
 
 
@@ -52,21 +58,37 @@ def main():
                  'TPU v5e via the train_sr CLI, with the D-loss-STD '
                  'instability rollback ARMED at the reference\'s tuned '
                  'value (std_4_lr_drop=1.6, the 1e6 shipped default '
-                 'disables it) and clean stop + --resume cycles at 30k '
-                 'and 39k exercising cross-process resume mid-GAN-phase.'),
+                 'disables it) and clean stop + --resume cycles at 30k, '
+                 '39k, 42k and 52k exercising cross-process resume '
+                 'mid-GAN-phase.'),
         'config': ('reduced-width flagship-shaped: nb=8 nf=32 G (CEM-'
-                   'wrapped, dual MAP+static step), patch-head VGG-D '
-                   'nf=32 num_2_strides=2, HR patch 128, batch 16, '
-                   'wgan-gp, D_update_ratio 10, D_verification=past. '
-                   'Flagship width runs 0.41 GAN-step/s on one chip '
-                   '(34 h to 50k) - out of reach in-round; every code '
-                   'path is identical. G warm-started (--warm_g) from '
-                   'the first attempt\'s 2000-step init phase; lr_D '
-                   'raised 1e-5 -> 1e-4 (the reference\'s documented '
-                   'original, train_explorable_SR.json:74) at the 39k '
-                   'resume after the past-gate never opened at 1e-5 '
-                   '(D honest but ~0.85 mean accuracy vs the all-of-'
-                   'last-10 > 0.9 bar).'),
+                   'wrapped, dual MAP+static step), VGG-128 D nf=64 '
+                   'nb=10, HR patch 128, batch 16, wgan-gp, '
+                   'D_update_ratio 10, D_verification=past. Flagship '
+                   'width runs 0.41 GAN-step/s on one chip (34 h to '
+                   '50k) - out of reach in-round; every code path is '
+                   'identical. G warm-started (--warm_g) from the first '
+                   'attempt\'s 2000-step init phase.'),
+        'history': (
+            'Full arc (scripts_dev/run50k2.sh documents each '
+            'intervention): steps 0-39k trained D-only with the '
+            'num_2_strides=2 patch head at lr_D=1e-5 — D separated '
+            'honestly (diff 0 -> ~0.45) but plateaued at ~0.85 mean '
+            'accuracy, below the all-of-last-10 > 0.9 past-gate bar; '
+            '39k-42k probed the reference\'s documented original '
+            'lr_D=1e-4, which DIVERGED the critic (symmetric collapse: '
+            'D_real ~= D_fake with inflating magnitude — a mode the '
+            'D-loss-STD detector is blind to since the real/fake loss '
+            'mean cancels); at 42k the D was surgically re-initialized '
+            'to the reference flagship FC-head configuration '
+            '(scripts_dev/reinit_d_42000.py; G side untouched — it had '
+            'never stepped) and retrained at lr_D=1e-5, tracking the '
+            'r3 trajectory: explosion phase at ~6k D-steps, gate open '
+            'at 48400, D pegging to 1.0 with diff 1.2-2.5 while ~750 '
+            'gated G-updates ran to 56000. Post-gate: val PSNR eased '
+            '28.65 -> 28.26 while per-pixel diversity rose '
+            '0.00158 -> 0.00187 — the perception-distortion tradeoff '
+            'beginning, consistent with r3\'s longer-gate-phase run.'),
         'final_step': final_step,
         'init_phase_steps': 2000,
         'gate_opened_step': gate_open,
@@ -86,17 +108,20 @@ def main():
             'D_loss_STD_max': max((v for _, v in stds), default=None),
             'fired': n_over > 0,
         },
-        'val_psnr': series(d, 'psnr_val'),
-        'val_per_pixel_std': series(d, 'per_pix_STD_val', 6),
+        'val_psnr': series(d, 'psnr_val', dedupe=True),
+        'val_per_pixel_std': series(d, 'per_pix_STD_val', 6, dedupe=True),
         'l_g_gan': series(d, 'l_g_gan', 4, every=10),
         'l_d_total': series(d, 'l_d_total', 4, every=10),
+        'D_correct': series(d, 'Correctly_distinguished', 4, every=10),
+        'D_logits_diff': series(d, 'D_logits_diff', 4, every=10),
+        'D_loss_STD_series': stds,
     }
     with open(os.path.join(art, 'summary.json'), 'w') as f:
         json.dump(out, f, indent=1)
     slim = {k: v for k, v in out.items()
-            if k not in ('l_g_gan', 'l_d_total')}
-    slim['val_psnr'] = out['val_psnr'][::4]
-    slim['val_per_pixel_std'] = out['val_per_pixel_std'][::4]
+            if k not in ('l_g_gan', 'l_d_total', 'D_correct',
+                         'D_logits_diff', 'D_loss_STD_series')}
+    # deduped change-point series are already compact
     slim['full_series'] = 'artifacts/run50k_r4/summary.json + logs.npz'
     with open(os.path.join(ROOT, 'TRAINCURVE_r04.json'), 'w') as f:
         json.dump(slim, f, indent=1)

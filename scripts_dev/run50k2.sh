@@ -49,3 +49,13 @@ echo "=== done $(date)"
 # opens at the reference lr_D=1e-5 (r3: gate at step 4300). lr_D
 # restored to 1e-5; resumed:
 #   python -m exsr.apps.train_sr $COMMON --niter 52000 --resume
+#
+# OUTCOME: the fresh FC-head D tracked r3's trajectory (accuracy crept
+# to ~0.8 by 2k D-steps, then the explosion phase: diff 0.05 -> 1.3 and
+# accuracy pegging toward 1.0 around 6.3k D-steps), the verification
+# gate OPENED at step ~48400, G-steps began flowing as D firmed, and
+# the run crossed the 50000 MultiStepLR milestone mid-G-training (the
+# halving is a traced function of state.step — no recompile, no host
+# action). EXTENSION to 56000 for a longer post-gate G-training
+# segment (~750 G updates):
+#   python -m exsr.apps.train_sr $COMMON --niter 56000 --resume
