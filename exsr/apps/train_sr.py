@@ -64,6 +64,16 @@ def main(argv=None):
                         'path.pretrained_model_G load (base_model.py:146-190,'
                         ' train_explorable_SR.json:40); ignored when '
                         '--resume finds checkpoints')
+    p.add_argument('--collapse_guard', action='store_true',
+                   help='arm the symmetric-critic-collapse rollback '
+                        '(controller.check_critic_collapse) — an exsr '
+                        'extension for wgan-type losses: rolls back with '
+                        'halved LR when |D_logits_diff| ~ 0 while the '
+                        'critic outputs inflate, a divergence mode the '
+                        "reference's D-loss-STD trigger cancels on. Off "
+                        'by default; the magnitude threshold assumes '
+                        'wgan loss scales (vanilla GAN logs ~0.69 at '
+                        'chance and would false-positive)')
     p.add_argument('--init_phase', action='store_true',
                    help='pixel+range pretraining (no GAN/D) — the '
                         'zero-egress stand-in for the reference\'s '
@@ -403,6 +413,15 @@ def main(argv=None):
                 if too_low:
                     print('LR below 1e-8 — stopping (instability).')
                     return
+                if not rollback and args.collapse_guard and \
+                        ctl.check_critic_collapse():
+                    # symmetric-collapse guard (exsr extension; the
+                    # D-loss-STD trigger above is blind to this mode —
+                    # observed live on the r4 run, controller.py)
+                    ctl.lr_scale *= ctl.lr_gamma
+                    rollback = True
+                    print('critic collapse detected '
+                          '(|D_logits_diff| ~ 0 with inflating |l_d|)')
                 if rollback:
                     mlog.append(ctl.step, rollback_lr_scale=ctl.lr_scale)
                     back_step, state = ckpts.restore_before(

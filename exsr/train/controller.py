@@ -206,6 +206,37 @@ class GANController:
         self.step += 1
 
     # ---------------------------------------------------- stability rollback
+    def check_critic_collapse(self, diff_max: float = 0.02,
+                              mag_min: float = 0.5,
+                              window: int = 200) -> bool:
+        """Detect the symmetric critic collapse the D-loss-STD trigger is
+        structurally blind to (exsr extension beyond the reference; no
+        SRRaGAN_model.py counterpart).
+
+        Observed live on the r4 50k-class run after a 10x lr_D jump: the
+        wgan-gp critic's real/fake outputs collapsed onto ONE inflating
+        value — D_logits_diff ~ 0 while |D| and the gradient penalty grew
+        monotonically.  check_lr_drop monitors std((l_d_real+l_d_fake)/2),
+        which cancels EXACTLY in this mode (it measured ~0.005 against a
+        1.6 threshold throughout the divergence), so the reference-
+        semantics rollback never fires.  This check fires when, over the
+        last ``window`` D-step records, the median |D_logits_diff| is
+        below ``diff_max`` (no separation) while the median loss
+        magnitude (|l_d_real|+|l_d_fake|)/2 exceeds ``mag_min`` (outputs
+        far from zero) — separation lost NOT because the critic is young
+        (then magnitudes are small too) but because it is running away.
+        Callers route a True through the same rollback path as
+        check_lr_drop."""
+        n = window
+        diffs = self.log['D_logits_diff'][-n:]
+        if len(diffs) < n:
+            return False
+        mags = [(abs(r) + abs(f)) / 2
+                for r, f in zip(self.log['l_d_real'][-n:],
+                                self.log['l_d_fake'][-n:])]
+        return (float(np.median(np.abs(diffs))) < diff_max
+                and float(np.median(mags)) > mag_min)
+
     def check_lr_drop(self) -> tuple[bool, bool]:
         """(should_rollback, lr_too_low) — LOSS_BASED branch of
         update_learning_rate (SRRaGAN_model.py:592-632): rollback when the

@@ -116,6 +116,46 @@ def test_controller_lr_drop():
     assert c.lr_scale == pytest.approx(0.5)
 
 
+def test_controller_critic_collapse_guard():
+    """check_critic_collapse (exsr extension): fires on the symmetric
+    critic collapse observed LIVE on the r4 50k-class run (a 10x lr_D
+    jump: D_logits_diff pinned ~0 while |l_d| inflated 0.6 -> 2.5 and
+    check_lr_drop's monitored std stayed ~0.005 vs its 1.6 threshold —
+    see artifacts/run50k_r4 and scripts_dev/run50k2.sh), and stays quiet
+    in the run's two healthy regimes."""
+    rng = np.random.default_rng(0)
+
+    def feed(c, n, diff, mag):
+        for _ in range(n):
+            d = diff + rng.normal(0, 0.003)
+            m = mag * (1 + rng.normal(0, 0.2))
+            c.record_d({'D_logits_diff': d, 'Correctly_distinguished': 0.5,
+                        'l_d_real_0': m, 'l_d_fake_0': -m})
+
+    # (1) collapse regime (the run's step 40k-42k statistics): fires
+    c = GANController()
+    feed(c, 250, diff=0.002, mag=1.2)
+    assert c.check_critic_collapse()
+    # (2) young healthy critic: diff ~0 but magnitudes small — quiet
+    c = GANController()
+    feed(c, 250, diff=0.01, mag=0.15)
+    assert not c.check_critic_collapse()
+    # (3) separated critic (post-gate: diff 0.4-2.5, any magnitude): quiet
+    c = GANController()
+    feed(c, 250, diff=0.8, mag=1.5)
+    assert not c.check_critic_collapse()
+    # (4) too little history: quiet
+    c = GANController()
+    feed(c, 50, diff=0.002, mag=1.2)
+    assert not c.check_critic_collapse()
+    # and the mode it complements DOESN'T fire on the collapse data —
+    # the real/fake mean cancels, reproducing the live blindness
+    c = GANController(steps_4_loss_std=100, std_4_lr_drop=1.6)
+    feed(c, 250, diff=0.002, mag=1.2)
+    rollback, _ = c.check_lr_drop()
+    assert not rollback
+
+
 def test_gd_update_controller_linear_map():
     g = GDUpdateController([[1, 10], [0.0, 1.0]])
     g.update_ratio(1.0)
