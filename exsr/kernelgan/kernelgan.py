@@ -254,7 +254,14 @@ class KernelGAN:
             com_c = (k.sum(0) @ idx) / ksum
             cent = ((com_r - wanted_com) ** 2
                     + (com_c - wanted_com) ** 2) / 2
-            sparse = jnp.mean(jnp.abs(k) ** 0.2)
+            # L0.2 sparsity (loss.py SparsityLoss). The raw |k|**0.2 has
+            # d/dk = 0.2*|k|**-0.8*sign(k) = inf*0 = NaN at entries that
+            # reach EXACTLY zero — measured on TPU: the 3000-iter
+            # estimation NaNs between iters 2000-3000 (after the schedule
+            # inserts the sparsity term and entries have been driven to
+            # zero; scripts_dev/probe_kg_nan.py). The epsilon bounds the
+            # gradient while changing the loss by <1e-2 per entry.
+            sparse = jnp.mean((jnp.abs(k) + 1e-12) ** 0.2)
             return (lam_bic * bic + cfg.lambda_sum2one * sum2one
                     + cfg.lambda_boundaries * bound + lam_cent * cent
                     + lam_sparse * sparse), bic
