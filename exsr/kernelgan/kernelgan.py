@@ -388,8 +388,13 @@ def kernel_shift(kernel: np.ndarray, sf: int) -> np.ndarray:
 
 
 def post_process_kernel(k: np.ndarray, sf: int, n: int = 40) -> np.ndarray:
-    """util.py:123-131."""
-    return kernel_shift(zeroize_negligible(k, n), sf=sf)
+    """util.py:123-131, plus a final renormalization: the spline shift
+    perturbs the sum slightly (measured ~3e-4 on a TPU 3000-iter
+    estimate), and the CEM rebuild contract — both exsr's
+    ``resize.set_estimated`` and the reference's identical assert
+    (imresize_CEM.py:27) — requires sum-to-1 within float32 eps."""
+    k = kernel_shift(zeroize_negligible(k, n), sf=sf)
+    return k / k.sum()
 
 
 def aniso_gaussian_kernel(size: int, sig1: float, sig2: float,
