@@ -81,15 +81,18 @@ def main(out_path: str | None = None):
         # optimizes B latent candidates in ONE batched program, so the
         # per-alternative step cost divides the (dispatch-floor-bound)
         # per-step time by B (VERDICT r3 next #2a)
-        B_ALT = 8
-        s.optimize('l1', data=data, max_iters=30,
-                   n_alternatives=B_ALT)  # compile
-        s.undo()
-        t0 = time.perf_counter()
-        res_b = s.optimize('l1', data=data, max_iters=30,
-                           n_alternatives=B_ALT)
-        e2e_b = (time.perf_counter() - t0) / max(len(res_b['losses']), 1)
-        s.undo()
+        per_alt = {}
+        for B_ALT in (8, 16):
+            s.optimize('l1', data=data, max_iters=30,
+                       n_alternatives=B_ALT)  # compile
+            s.undo()
+            t0 = time.perf_counter()
+            res_b = s.optimize('l1', data=data, max_iters=30,
+                               n_alternatives=B_ALT)
+            e2e_b = (time.perf_counter() - t0) / max(
+                len(res_b['losses']), 1)
+            s.undo()
+            per_alt[B_ALT] = round(1000 * e2e_b / B_ALT, 2)
 
         rec = {
             'metric': 'z_edit_latency',
@@ -98,8 +101,8 @@ def main(out_path: str | None = None):
             'scan_ms_per_step': round(1000 * scan, 2),
             'e2e_ms_per_step': round(1000 * e2e, 2),
             'vs_target_5ms': round(1000 * scan / 5.0, 2),
-            'alt_batch': B_ALT,
-            'e2e_ms_per_step_per_alt': round(1000 * e2e_b / B_ALT, 2),
+            'e2e_ms_per_step_per_alt_b8': per_alt[8],
+            'e2e_ms_per_step_per_alt_b16': per_alt[16],
         }
         records.append(rec)
         print(json.dumps(rec), flush=True)

@@ -50,6 +50,10 @@ def main():
     torch.cuda.is_available = lambda: False
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
+    # the reference predates numpy 1.20's alias removal (util.py uses
+    # np.int in kernel_shift)
+    np.int = int
+    np.float = float
 
     from KernelGAN.configs import Config
     from KernelGAN.train import train as ref_train
