@@ -162,6 +162,10 @@ def main(argv=None):
     p.add_argument('--lr_dir', help='LR dir (default: synthesize from HR)')
     p.add_argument('--scale', type=int, default=4)
     p.add_argument('--nb', type=int, default=23)
+    p.add_argument('--nf', type=int, default=64)
+    p.add_argument('--latent_channels', type=int, default=3,
+                   help='generator latent (Z) channels; must match the '
+                        'checkpoint being evaluated')
     p.add_argument('--checkpoint')
     p.add_argument('--num_z', type=int, default=1,
                    help='Z samples for the diversity sweep')
@@ -211,7 +215,7 @@ def main(argv=None):
                                  '(test_sr.json dialect) — fills '
                                  'scale/nb/data roots; explicit flags win')
     args = p.parse_args(argv)
-    arch, use_cem, nf, nz = 'RRDB_net', True, 64, 3
+    arch, use_cem, nf, nz = 'RRDB_net', True, args.nf, args.latent_channels
     if args.opt:
         from exsr.options.config import parse as parse_opt
         opt = parse_opt(args.opt, is_train=False)
@@ -237,13 +241,14 @@ def main(argv=None):
         if cem_flag is None:
             cem_flag = g_opt['DTE_arch']  # pre-rename key
         use_cem = bool(1 if cem_flag is None else cem_flag)
-        nz_opt = g_opt['latent_channels']
-        if g_opt['latent_input'] == 'None':
-            nz_opt = 0
-        if nz_opt is not None:
-            from exsr.losses.filter_loss import num_latent_channels
-            nz = num_latent_channels(nz_opt)
-        if g_opt['nf']:
+        if 'latent_channels' not in given:
+            nz_opt = g_opt['latent_channels']
+            if g_opt['latent_input'] == 'None':
+                nz_opt = 0
+            if nz_opt is not None:
+                from exsr.losses.filter_loss import num_latent_channels
+                nz = num_latent_channels(nz_opt)
+        if g_opt['nf'] and 'nf' not in given:
             nf = int(g_opt['nf'])
     if nz == 0:
         assert args.latent == 'rand_uniform', \

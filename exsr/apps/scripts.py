@@ -304,7 +304,8 @@ def official_parity(pth: str, hr_dir: str, out_dir: str, nb: int = 23,
                     scale=scale, nf=nf, gc=gc)
     from exsr.apps import eval_sr
     argv = ['--hr_dir', hr_dir, '--checkpoint', ckpt,
-            '--scale', str(scale), '--nb', str(nb),
+            '--scale', str(scale), '--nb', str(nb), '--nf', str(nf),
+            '--latent_channels', str(latent_channels),
             '--latent', 'rand_uniform', '--num_z', str(num_z),
             '--out_dir', out_dir]
     if max_images:

@@ -46,6 +46,11 @@ def main(argv=None):
     p.add_argument('--exp_dir', default='experiments/explorable_sr')
     p.add_argument('--val_freq', type=int, default=500)
     p.add_argument('--ckpt_freq', type=int, default=1000)
+    p.add_argument('--max_keep', type=int, default=3,
+                   help='checkpoints retained; raise when arming rollback '
+                        'guards so the restore-before-step target survives '
+                        'pruning (the r4 50k run lost its pre-divergence '
+                        'checkpoint to max_to_keep=3)')
     p.add_argument('--print_freq', type=int, default=100)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--resume', action='store_true')
@@ -163,9 +168,15 @@ def main(argv=None):
         # network_D.decomposed_input=1 -> two-stream PatchGAN judging the
         # CEM (low, high) pair (SRRaGAN_model.py:84; architecture.py:359-387)
         from exsr.models.discriminators import PatchGANDiscriminator
-        d = PatchGANDiscriminator(ndf=args.d_nf,
-                                  decomposed_input=True,
-                                  pre_clipping=exp.network_d.pre_clipping)
+        # the reference forwards the JSON's n_layers to the PatchGAN too
+        # (networks.py:148) — honor it when set, else keep the 3-layer
+        # 70x70 default (args.d_nb's 10 default is the VGG128 depth, not
+        # a PatchGAN request)
+        d_kwargs = dict(ndf=args.d_nf, decomposed_input=True,
+                        pre_clipping=exp.network_d.pre_clipping)
+        if exp.network_d.n_layers:
+            d_kwargs['n_layers'] = args.d_nb
+        d = PatchGANDiscriminator(**d_kwargs)
         cfg = cfg.__class__(**{**cfg.__dict__, 'decomposed_d': True})
     else:
         d = DiscriminatorVGG128(base_nf=args.d_nf, nb=args.d_nb,
@@ -255,7 +266,7 @@ def main(argv=None):
     tb = (TensorboardWriter(os.path.join(args.exp_dir, 'tb'))
           if args.tensorboard else None)
     ckpts = CheckpointManager(os.path.abspath(
-        os.path.join(args.exp_dir, 'ckpt')), max_to_keep=3,
+        os.path.join(args.exp_dir, 'ckpt')), max_to_keep=args.max_keep,
         save_interval_steps=args.ckpt_freq)
     if args.resume and ckpts.latest_step() is not None:
         state, ctl_state = ckpts.restore(state, with_controller=True)
@@ -417,12 +428,20 @@ def main(argv=None):
                         ctl.check_critic_collapse():
                     # symmetric-collapse guard (exsr extension; the
                     # D-loss-STD trigger above is blind to this mode —
-                    # observed live on the r4 run, controller.py)
-                    ctl.lr_scale *= ctl.lr_gamma
+                    # observed live on the r4 run, controller.py); shares
+                    # the D-loss-STD path's LR halving AND its <1e-8 abort
+                    too_low = ctl.halve_lr()
                     rollback = True
                     print('critic collapse detected '
                           '(|D_logits_diff| ~ 0 with inflating |l_d|)')
+                    if too_low:
+                        print('LR below 1e-8 — stopping (instability).')
+                        return
                 if rollback:
+                    # the staged metrics of the step being discarded must
+                    # not leak into the post-rollback gating window / the
+                    # audited D_loss_STD series
+                    pending = (None, None)
                     mlog.append(ctl.step, rollback_lr_scale=ctl.lr_scale)
                     back_step, state = ckpts.restore_before(
                         state, ctl.step - cfg.steps_4_loss_std)

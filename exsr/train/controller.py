@@ -237,6 +237,15 @@ class GANController:
         return (float(np.median(np.abs(diffs))) < diff_max
                 and float(np.median(mags)) > mag_min)
 
+    def halve_lr(self) -> bool:
+        """Apply one instability LR halving; returns lr_too_low — the
+        abort condition every rollback trigger must share (the reference's
+        LR < 1e-8 stop, SRRaGAN_model.py:618-631).  Used by both the
+        D-loss-STD path (check_lr_drop) and the critic-collapse guard so
+        repeated rollbacks from either trigger hit the same stop."""
+        self.lr_scale *= self.lr_gamma
+        return self.lr_scale * self.base_lr < 1e-8
+
     def check_lr_drop(self) -> tuple[bool, bool]:
         """(should_rollback, lr_too_low) — LOSS_BASED branch of
         update_learning_rate (SRRaGAN_model.py:592-632): rollback when the
@@ -250,6 +259,4 @@ class GANController:
         self.log['D_loss_STD'].append((self.step, std))
         if self.std_4_lr_drop is None or std <= self.std_4_lr_drop:
             return False, False
-        self.lr_scale *= self.lr_gamma
-        too_low = self.lr_scale * self.base_lr < 1e-8
-        return True, too_low
+        return True, self.halve_lr()
