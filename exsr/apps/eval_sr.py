@@ -102,6 +102,27 @@ def sweep_values(mode: str, num: int, z_range: float = 1.0) -> list:
     return half + [0.0] + [-v for v in half[::-1]]
 
 
+def bucketed_sweep(fwd, lr, zs, table=None):
+    """One batched forward over the Z sweep, padded to the fastest
+    execution bucket.
+
+    v5e convs get markedly more efficient with rows, so the diversity
+    sweep is cheaper as one batch-len(zs) call than sequential batch-1
+    calls — and the measured forward-time curve is NON-monotonic in batch
+    (BENCH_CURVE.json: b64 takes longer in absolute time than b128), so
+    intermediate sweep sizes are zero-padded up to the argmin-time bucket
+    (exsr.utils.serve.best_bucket) and the pad rows dropped."""
+    from exsr.utils.serve import best_bucket, pad_batch
+    n = len(zs)
+    lr_rep = np.repeat(lr, n, 0)
+    z_cat = np.concatenate(zs, 0)
+    bucket = best_bucket(n, table)
+    if bucket > n:
+        (lr_rep, z_cat), _ = pad_batch([lr_rep, z_cat], bucket)
+    batched = fwd(lr_rep, z_cat)
+    return [batched[j:j + 1] for j in range(n)]
+
+
 def build_zs(args, hr_hw, rng, nz: int = 3):
     """Z sample list for the non-optimizer latent modes, plus the index of
     the sample used for PSNR/SSIM (the reference scores the swept-value-0
@@ -371,11 +392,7 @@ def main(argv=None):
         else:
             rng = np.random.default_rng(i)
             zs, psnr_idx = build_zs(args, hr_hw, rng, nz=nz)
-            # one batched forward over the Z sweep: v5e convs get markedly
-            # more efficient with rows, so the diversity sweep is cheaper
-            # as one batch-len(zs) call than sequential batch-1 calls
-            batched = fwd(np.repeat(lr, len(zs), 0), np.concatenate(zs, 0))
-            outs = [batched[j:j + 1] for j in range(len(zs))]
+            outs = bucketed_sweep(fwd, lr, zs)
         dt = time.time() - t0
         sr0 = tensor2img(outs[psnr_idx])
         rec['time_s'] = dt

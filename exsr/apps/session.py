@@ -440,7 +440,15 @@ class EditSession:
                     self.region_mask_hr.shape:
                 data[key] = np.asarray(data[key])[hr_slice[0], hr_slice[1]]
 
-        b = n_alternatives
+        # alternatives-batch compile bucketing (exsr.utils.serve): pad the
+        # candidate batch up to the next fixed bucket — padded rows are
+        # extra random candidates that ride nearly free at the dispatch-
+        # floor-bound per-step cost, and the few bucket shapes keep the
+        # compiled-program cache hot across different request sizes; only
+        # the requested count is retained below
+        n_req = n_alternatives
+        from exsr.utils.serve import alt_bucket
+        b = alt_bucket(n_req) if n_req > 1 else n_req
         lr_batch = jnp.asarray(np.repeat(lr_crop, b, axis=0))
         margins = self.cem.invalidity_margins_lr
         # the crop box already includes the invalidity margins; in fast-edit
@@ -546,11 +554,12 @@ class EditSession:
                    if z_mask is not None else best_theta)
             best_z = self.z_range * jnp.tanh(eff)
         z_opt = np.asarray(best_z)[:1]
-        if b > 1:
+        if n_req > 1:
             # retain the optimized alternatives for browsing and
             # CopyAlternative2Default (the reference keeps random_Zs
-            # alongside cur_Z, GUI.py:1420,1740-1800)
-            self._alternatives = {'zs': np.asarray(best_z)[1:],
+            # alongside cur_Z, GUI.py:1420,1740-1800); bucket-pad rows
+            # past the requested count are dropped
+            self._alternatives = {'zs': np.asarray(best_z)[1:n_req],
                                   'hr_slice': hr_slice}
         new_z = self.cur_z.copy()
         new_z[:, hr_slice[0], hr_slice[1]] = z_opt
@@ -558,7 +567,7 @@ class EditSession:
         self.recompute()
         return {'sr': self.sr, 'losses': losses_hist,
                 'final_loss': best_loss, 'rounds': rounds,
-                'n_alternatives': b - 1 if b > 1 else 0}
+                'n_alternatives': n_req - 1 if n_req > 1 else 0}
 
     def _z_mask(self, mask_hr, z_shape):
         if mask_hr.min() >= 1.0:

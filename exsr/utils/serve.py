@@ -19,8 +19,28 @@ import bisect
 
 import numpy as np
 
-# batch -> measured ms per forward (scripts_dev/probe_serve_pad.py, r4)
+# batch -> measured ms per forward (scripts_dev/probe_serve_pad.py, r5,
+# real TPU v5e, LR 128 -> HR 512 grouped bf16 trunk + fp32 CEM tail);
+# placeholder-empty only until the r5 probe rewrites it below
 V5E_MS_PER_FWD: dict[int, float] = {}
+
+# Alternatives-batch compile buckets for the interactive edit path: the
+# per-step cost of the compiled Z-edit program is dispatch-floor-bound
+# (BENCH_EDIT: b8 costs ~7.5 ms/step/alt vs ~18 ms/step at b1 — padded
+# candidate rows ride nearly free), so padding any requested alternatives
+# count up to a few fixed buckets both reuses compiled programs across
+# requests AND lowers the per-alternative cost.  GUI.py's random-
+# alternatives browser analog (GUI.py:1740-1800).
+ALT_BUCKETS: tuple[int, ...] = (1, 2, 4, 8, 16, 32)
+
+
+def alt_bucket(n: int, buckets: tuple[int, ...] = ALT_BUCKETS) -> int:
+    """Round an alternatives-batch request up to the next compile bucket
+    (``n`` above the largest bucket is returned unchanged)."""
+    for b in buckets:
+        if b >= n:
+            return b
+    return n
 
 
 def best_bucket(n: int, table: dict[int, float] | None = None) -> int:

@@ -287,3 +287,31 @@ def test_serve_bucket_policy():
     assert (p[:3] == 1).all() and (p[3:] == 0).all()
     (q,), n2 = pad_batch([a], 2)
     assert q.shape[0] == 3 and n2 == 3
+
+
+def test_eval_sweep_pads_to_best_bucket():
+    """eval_sr's batched Z-sweep forward pads a 33-sample sweep up to the
+    b128 bucket when the measured table says b128 is absolutely faster
+    than everything in between (the v5e inversion) — and returns exactly
+    the 33 real outputs (VERDICT-r4 next #3 integration)."""
+    from exsr.apps.eval_sr import bucketed_sweep
+    t = {32: 446.0, 64: 864.0, 128: 792.0}
+    seen = {}
+
+    def spy_fwd(lr_rep, z_cat):
+        seen['batch'] = lr_rep.shape[0]
+        assert z_cat.shape[0] == lr_rep.shape[0]
+        return np.arange(lr_rep.shape[0], dtype=np.float32)[
+            :, None, None, None] * np.ones((1, 8, 8, 3), np.float32)
+
+    lr = np.zeros((1, 2, 2, 3), np.float32)
+    zs = [np.full((1, 8, 8, 3), i, np.float32) for i in range(33)]
+    outs = bucketed_sweep(spy_fwd, lr, zs, table=t)
+    assert seen['batch'] == 128
+    assert len(outs) == 33
+    assert float(outs[7][0, 0, 0, 0]) == 7.0   # pad rows dropped, order kept
+    # exact bucket and no-table requests run as-is
+    outs = bucketed_sweep(spy_fwd, lr, zs[:32], table=t)
+    assert seen['batch'] == 32 and len(outs) == 32
+    outs = bucketed_sweep(spy_fwd, lr, zs[:5], table={})
+    assert seen['batch'] == 5 and len(outs) == 5

@@ -257,3 +257,27 @@ def test_more_objectives_smoke(session):
                    n_alternatives=2)
     assert np.isfinite(r['final_loss'])
     s.undo()
+
+
+def test_alternatives_batch_bucketing(session):
+    """A 3-candidate alternatives request executes at the next compile
+    bucket (b=4, exsr.utils.serve.alt_bucket) — padded candidate rows ride
+    the dispatch-floor-bound step nearly free and keep the jit cache hot
+    across request sizes — while exactly the requested count is retained
+    (GUI.py:1740-1800 random_Zs semantics)."""
+    from exsr.utils.serve import alt_bucket
+    assert [alt_bucket(n) for n in (1, 2, 3, 5, 8, 9, 33)] == \
+        [1, 2, 4, 8, 8, 16, 33]
+    s = session
+    mask = np.zeros((96, 96), np.float32)
+    mask[24:72, 24:72] = 1.0
+    s.set_region(mask)
+    desired = np.clip(np.asarray(s.sr) + 0.02, 0, 1)
+    res = s.optimize('l1', data={'desired': desired}, max_iters=6,
+                     time_budget_s=60.0, n_alternatives=3)
+    assert res['n_alternatives'] == 2
+    assert s._alternatives['zs'].shape[0] == 2
+    # the compiled program really ran at the b=4 bucket
+    keys = [k for k in s._zopt_cache if k[0] == 'l1' and k[-1] > 1]
+    assert keys and keys[-1][-1] == 4 and keys[-1][1][0] == 4
+    s.undo()
