@@ -198,7 +198,6 @@ def main(argv=None):
                 'verified_d_saved': ctl.verified_d_saved}
 
     t0 = time.time()
-    epoch = 0
     log_accum = {}
     pending = (None, None)   # staged (d, g) metrics of the previous step
 
@@ -215,41 +214,41 @@ def main(argv=None):
                               if np.ndim(v) == 0})
             ctl.record_g()
 
-    while ctl.step < cfg.niter:
-        for batch in loader.epoch(epoch):
-            if ctl.step >= cfg.niter:
-                break
-            b = rules.shard_host_batch({'uncomp': batch['uncomp'],
-                                        'qf': batch['qf']})
-            dual = (cfg.optimal_z_weight is not None
-                    and ctl.generator_started_learning)
-            d_staged = g_staged = None
-            if ctl.want_d_step():
-                state, dm = trainer.d_step(state, b, dual=dual)
-                d_staged = stage_scalars(dm)
-            if ctl.want_g_step():
-                state, gm = trainer.g_step(state, b, dual=dual,
-                                           use_gan=True)
-                g_staged = stage_scalars(gm)
-            # pipelined metric recording (see train_sr): step t+1 is
-            # enqueued before step t's one-transfer fetch materializes,
-            # overlapping the tunnel round-trip with device compute;
-            # gating sees records one step staler
-            apply_pending()
-            pending = (d_staged, g_staged)
-            state = trainer.advance(state)
-            ctl.tick()
-            if ctl.step % args.print_freq == 0:
-                rate = args.print_freq / max(time.time() - t0, 1e-9)
-                t0 = time.time()
-                print(json.dumps({'step': ctl.step,
-                                  'steps_per_s': round(rate, 3)}))
-                mlog.append(ctl.step, **log_accum)
-                mlog.save(log_path)
-            if val_ds is not None and ctl.step % args.val_freq == 0:
-                validate(state)
-            ckpts.save(ctl.step, state, controller_state=_ctl_snapshot())
-        epoch += 1
+    # cross-epoch prefetch stream (see train_sr/DataLoader.stream): tiny tile
+    # datasets make an epoch a single batch, which defeats per-epoch prefetch
+    for batch in loader.stream(0):
+        if ctl.step >= cfg.niter:
+            break
+        b = rules.shard_host_batch({'uncomp': batch['uncomp'],
+                                    'qf': batch['qf']})
+        dual = (cfg.optimal_z_weight is not None
+                and ctl.generator_started_learning)
+        d_staged = g_staged = None
+        if ctl.want_d_step():
+            state, dm = trainer.d_step(state, b, dual=dual)
+            d_staged = stage_scalars(dm)
+        if ctl.want_g_step():
+            state, gm = trainer.g_step(state, b, dual=dual,
+                                       use_gan=True)
+            g_staged = stage_scalars(gm)
+        # pipelined metric recording (see train_sr): step t+1 is
+        # enqueued before step t's one-transfer fetch materializes,
+        # overlapping the tunnel round-trip with device compute;
+        # gating sees records one step staler
+        apply_pending()
+        pending = (d_staged, g_staged)
+        state = trainer.advance(state)
+        ctl.tick()
+        if ctl.step % args.print_freq == 0:
+            rate = args.print_freq / max(time.time() - t0, 1e-9)
+            t0 = time.time()
+            print(json.dumps({'step': ctl.step,
+                              'steps_per_s': round(rate, 3)}))
+            mlog.append(ctl.step, **log_accum)
+            mlog.save(log_path)
+        if val_ds is not None and ctl.step % args.val_freq == 0:
+            validate(state)
+        ckpts.save(ctl.step, state, controller_state=_ctl_snapshot())
     apply_pending()
     pending = (None, None)
     ckpts.save(ctl.step, state, controller_state=_ctl_snapshot(),
@@ -383,31 +382,28 @@ def _main_chroma(args):
 
     from exsr.utils.misc import fetch_scalars as _fs
     t0 = time.time()
-    epoch = 0
     log_accum = {}
-    while step < cfg.niter:
-        for batch in loader.epoch(epoch):
-            if step >= cfg.niter:
-                break
-            b = rules.shard_host_batch({'uncomp': batch['uncomp'],
-                                        'qf': batch['qf']})
-            state, metrics = trainer.step_fn(state, b, use_gan=True)
-            log_accum.update({k: v for k, v in _fs(metrics).items()
-                              if np.ndim(v) == 0})
-            step = int(state.step)
-            if step % args.print_freq == 0:
-                rate = args.print_freq / max(time.time() - t0, 1e-9)
-                t0 = time.time()
-                print(json.dumps({'step': step,
-                                  'steps_per_s': round(rate, 3),
-                                  **{k: round(v, 5)
-                                     for k, v in log_accum.items()}}))
-                mlog.append(step, **log_accum)
-                mlog.save(log_path)
-            if val_ds is not None and step % args.val_freq == 0:
-                validate()
-            ckpts.save(step, state)
-        epoch += 1
+    for batch in loader.stream(0):
+        if step >= cfg.niter:
+            break
+        b = rules.shard_host_batch({'uncomp': batch['uncomp'],
+                                    'qf': batch['qf']})
+        state, metrics = trainer.step_fn(state, b, use_gan=True)
+        log_accum.update({k: v for k, v in _fs(metrics).items()
+                          if np.ndim(v) == 0})
+        step = int(state.step)
+        if step % args.print_freq == 0:
+            rate = args.print_freq / max(time.time() - t0, 1e-9)
+            t0 = time.time()
+            print(json.dumps({'step': step,
+                              'steps_per_s': round(rate, 3),
+                              **{k: round(v, 5)
+                                 for k, v in log_accum.items()}}))
+            mlog.append(step, **log_accum)
+            mlog.save(log_path)
+        if val_ds is not None and step % args.val_freq == 0:
+            validate()
+        ckpts.save(step, state)
     ckpts.save(step, state, force=True)
     ckpts.wait()
     mlog.save(log_path)

@@ -347,7 +347,6 @@ def main(argv=None):
                 'lr_scale': ctl.lr_scale}
 
     t0 = time.time()
-    epoch = 0
     log_accum = {}
     pending = (None, None)   # staged (d, g) metrics of the previous step
 
@@ -370,105 +369,107 @@ def main(argv=None):
     # regression the r4 fixes removed)
     tacc = {'t_data': 0.0, 't_step': 0.0, 't_fetch': 0.0}
     _tlast = time.perf_counter()
-    while ctl.step < cfg.niter:
-        for batch in loader.epoch(epoch):
-            if ctl.step >= cfg.niter:
-                break
-            batch = rules.shard_batch(
-                {'lr': batch['lr'], 'hr': batch['hr']})
-            _tn = time.perf_counter()
-            tacc['t_data'] += _tn - _tlast
-            _tlast = _tn
-            dual = (cfg.optimal_z_weight is not None
-                    and ctl.generator_started_learning)
-            if args.init_phase:
-                do_d, do_g = False, True  # no D in the pretraining phase
-            else:
-                do_d = ctl.want_d_step()
-                do_g = ctl.want_g_step()
-            d_staged = g_staged = None
-            if do_d:
-                state, d_metrics = trainer.d_step(state, batch, dual=dual)
-                d_staged = stage_scalars(d_metrics)
-            if do_g:
-                state, g_metrics = trainer.g_step(state, batch, dual=dual,
-                                                  use_gan=not
-                                                  args.init_phase)
-                g_staged = stage_scalars(g_metrics)
-            _tn = time.perf_counter()
-            tacc['t_step'] += _tn - _tlast
-            _tlast = _tn
-            # pipelined metric recording: step t+1 is already enqueued
-            # when step t's one-transfer fetch materializes, so the
-            # tunnel round-trip overlaps device compute (measured 355 ms
-            # synchronous -> ~RTT-free).  Controller gating therefore
-            # sees records one step staler than the reference's
-            # synchronous loop — the 10-consecutive-step verification
-            # windows open at most one step later.
-            apply_pending()
-            pending = (d_staged, g_staged)
-            _tn = time.perf_counter()
-            tacc['t_fetch'] += _tn - _tlast
-            _tlast = _tn
-            state = trainer.advance(state)
-            ctl.tick()
+    # cross-epoch prefetch stream: with few training tiles an epoch is a
+    # single batch, so the per-epoch iterator exposes the whole collate
+    # latency to the step loop (0.3-0.8 s/step measured on the r5
+    # flagship run); the stream keeps batches ready across boundaries
+    for batch in loader.stream(0):
+        if ctl.step >= cfg.niter:
+            break
+        batch = rules.shard_batch(
+            {'lr': batch['lr'], 'hr': batch['hr']})
+        _tn = time.perf_counter()
+        tacc['t_data'] += _tn - _tlast
+        _tlast = _tn
+        dual = (cfg.optimal_z_weight is not None
+                and ctl.generator_started_learning)
+        if args.init_phase:
+            do_d, do_g = False, True  # no D in the pretraining phase
+        else:
+            do_d = ctl.want_d_step()
+            do_g = ctl.want_g_step()
+        d_staged = g_staged = None
+        if do_d:
+            state, d_metrics = trainer.d_step(state, batch, dual=dual)
+            d_staged = stage_scalars(d_metrics)
+        if do_g:
+            state, g_metrics = trainer.g_step(state, batch, dual=dual,
+                                              use_gan=not
+                                              args.init_phase)
+            g_staged = stage_scalars(g_metrics)
+        _tn = time.perf_counter()
+        tacc['t_step'] += _tn - _tlast
+        _tlast = _tn
+        # pipelined metric recording: step t+1 is already enqueued
+        # when step t's one-transfer fetch materializes, so the
+        # tunnel round-trip overlaps device compute (measured 355 ms
+        # synchronous -> ~RTT-free).  Controller gating therefore
+        # sees records one step staler than the reference's
+        # synchronous loop — the 10-consecutive-step verification
+        # windows open at most one step later.
+        apply_pending()
+        pending = (d_staged, g_staged)
+        _tn = time.perf_counter()
+        tacc['t_fetch'] += _tn - _tlast
+        _tlast = _tn
+        state = trainer.advance(state)
+        ctl.tick()
 
-            if ctl.step % cfg.steps_4_loss_std == 0:
-                rollback, too_low = ctl.check_lr_drop()
-                if ctl.log['D_loss_STD']:
-                    # persist the rollback-decision series (the reference
-                    # logs it too, SRRaGAN_model.py:608-616) — the armed
-                    # threshold comparison must be auditable post-run
-                    s_, v_ = ctl.log['D_loss_STD'][-1]
-                    mlog.append(s_, D_loss_STD=v_)
+        if ctl.step % cfg.steps_4_loss_std == 0:
+            rollback, too_low = ctl.check_lr_drop()
+            if ctl.log['D_loss_STD']:
+                # persist the rollback-decision series (the reference
+                # logs it too, SRRaGAN_model.py:608-616) — the armed
+                # threshold comparison must be auditable post-run
+                s_, v_ = ctl.log['D_loss_STD'][-1]
+                mlog.append(s_, D_loss_STD=v_)
+            if too_low:
+                print('LR below 1e-8 — stopping (instability).')
+                return
+            if not rollback and args.collapse_guard and \
+                    ctl.check_critic_collapse():
+                # symmetric-collapse guard (exsr extension; the
+                # D-loss-STD trigger above is blind to this mode —
+                # observed live on the r4 run, controller.py); shares
+                # the D-loss-STD path's LR halving AND its <1e-8 abort
+                too_low = ctl.halve_lr()
+                rollback = True
+                print('critic collapse detected '
+                      '(|D_logits_diff| ~ 0 with inflating |l_d|)')
                 if too_low:
                     print('LR below 1e-8 — stopping (instability).')
                     return
-                if not rollback and args.collapse_guard and \
-                        ctl.check_critic_collapse():
-                    # symmetric-collapse guard (exsr extension; the
-                    # D-loss-STD trigger above is blind to this mode —
-                    # observed live on the r4 run, controller.py); shares
-                    # the D-loss-STD path's LR halving AND its <1e-8 abort
-                    too_low = ctl.halve_lr()
-                    rollback = True
-                    print('critic collapse detected '
-                          '(|D_logits_diff| ~ 0 with inflating |l_d|)')
-                    if too_low:
-                        print('LR below 1e-8 — stopping (instability).')
-                        return
-                if rollback:
-                    # the staged metrics of the step being discarded must
-                    # not leak into the post-rollback gating window / the
-                    # audited D_loss_STD series
-                    pending = (None, None)
-                    mlog.append(ctl.step, rollback_lr_scale=ctl.lr_scale)
-                    back_step, state = ckpts.restore_before(
-                        state, ctl.step - cfg.steps_4_loss_std)
-                    # the halved scale applies to the compiled steps as a
-                    # traced scalar — no recompile (SRRaGAN_model.py:618-631)
-                    state = state.replace(
-                        lr_scale=jnp.asarray(ctl.lr_scale, jnp.float32))
-                    print(f'instability rollback to step {back_step}, '
-                          f'lr_scale={ctl.lr_scale}')
-            if ctl.step % args.print_freq == 0:
-                log_accum['steps_per_s'] = args.print_freq / max(
-                    time.time() - t0, 1e-9)
-                t0 = time.time()
-                for k in tacc:
-                    log_accum[k + '_ms'] = 1e3 * tacc[k] / args.print_freq
-                    tacc[k] = 0.0
-                print(json.dumps({'step': ctl.step, **{
-                    k: round(v, 5) for k, v in log_accum.items()}}))
-                mlog.append(ctl.step, **log_accum)
-                if tb is not None:
-                    tb.log(ctl.step, **log_accum)
-                mlog.save(log_path)
-            if val_ds and ctl.step % args.val_freq == 0:
-                validate(ctl.step)
-            ckpts.save(ctl.step, state,
-                       controller_state=_ctl_snapshot())
-        epoch += 1
+            if rollback:
+                # the staged metrics of the step being discarded must
+                # not leak into the post-rollback gating window / the
+                # audited D_loss_STD series
+                pending = (None, None)
+                mlog.append(ctl.step, rollback_lr_scale=ctl.lr_scale)
+                back_step, state = ckpts.restore_before(
+                    state, ctl.step - cfg.steps_4_loss_std)
+                # the halved scale applies to the compiled steps as a
+                # traced scalar — no recompile (SRRaGAN_model.py:618-631)
+                state = state.replace(
+                    lr_scale=jnp.asarray(ctl.lr_scale, jnp.float32))
+                print(f'instability rollback to step {back_step}, '
+                      f'lr_scale={ctl.lr_scale}')
+        if ctl.step % args.print_freq == 0:
+            log_accum['steps_per_s'] = args.print_freq / max(
+                time.time() - t0, 1e-9)
+            t0 = time.time()
+            for k in tacc:
+                log_accum[k + '_ms'] = 1e3 * tacc[k] / args.print_freq
+                tacc[k] = 0.0
+            print(json.dumps({'step': ctl.step, **{
+                k: round(v, 5) for k, v in log_accum.items()}}))
+            mlog.append(ctl.step, **log_accum)
+            if tb is not None:
+                tb.log(ctl.step, **log_accum)
+            mlog.save(log_path)
+        if val_ds and ctl.step % args.val_freq == 0:
+            validate(ctl.step)
+        ckpts.save(ctl.step, state,
+                   controller_state=_ctl_snapshot())
     apply_pending()
     pending = (None, None)
     ckpts.save(ctl.step, state, force=True,

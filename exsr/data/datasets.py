@@ -301,3 +301,28 @@ class DataLoader:
                     cv.wait()
                 batch = done.pop(b)
             yield batch
+
+    def stream(self, start_epoch: int = 0) -> Iterator[dict]:
+        """Continuous cross-epoch batch stream.
+
+        ``epoch()`` can only prefetch *within* one epoch — with a tiny
+        tile dataset an epoch holds a single batch, so nothing ever
+        overlaps device compute and the train loop pays the full collate
+        latency every step (measured 0.3–0.8 s/step of exposed t_data on
+        the r5 flagship run; the reference's torch DataLoader has the
+        same per-epoch worker restart).  A background producer keeps up
+        to ``prefetch`` collated batches ready across epoch boundaries;
+        epoch seeds/shuffling are identical to sequential ``epoch(e)``
+        calls, so resume determinism is unchanged."""
+        out: 'queue.Queue' = queue.Queue(maxsize=max(1, self.prefetch))
+
+        def produce():
+            e = start_epoch
+            while True:
+                for batch in self.epoch(e):
+                    out.put(batch)
+                e += 1
+
+        threading.Thread(target=produce, daemon=True).start()
+        while True:
+            yield out.get()

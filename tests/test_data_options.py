@@ -315,3 +315,19 @@ def test_eval_sweep_pads_to_best_bucket():
     assert seen['batch'] == 32 and len(outs) == 32
     outs = bucketed_sweep(spy_fwd, lr, zs[:5], table={})
     assert seen['batch'] == 5 and len(outs) == 5
+
+
+def test_dataloader_stream_matches_epochs(image_dir):
+    """stream() yields exactly the sequence of sequential epoch() calls
+    (same shuffles/seeds), crossing epoch boundaries without a restart —
+    the cross-epoch prefetch that hides collate latency when a tiny tile
+    dataset makes an epoch a single batch."""
+    ds = LRHRDataset(hr_root=image_dir, scale=4, patch_size=32, train=True)
+    dl = DataLoader(ds, batch_size=2, seed=7, num_threads=2)
+    want = [b['lr'].copy() for e in range(3) for b in dl.epoch(e)]
+    got = []
+    stream = dl.stream(0)
+    for _ in range(len(want)):
+        got.append(next(stream)['lr'].copy())
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(a, b)
