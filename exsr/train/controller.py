@@ -208,7 +208,9 @@ class GANController:
     # ---------------------------------------------------- stability rollback
     def check_critic_collapse(self, diff_max: float = 0.02,
                               mag_min: float = 0.5,
-                              window: int = 200) -> bool:
+                              window: int = 200,
+                              inflation_min: float = 1.25,
+                              mag_hi: float = 1.0) -> bool:
         """Detect the symmetric critic collapse the D-loss-STD trigger is
         structurally blind to (exsr extension beyond the reference; no
         SRRaGAN_model.py counterpart).
@@ -223,8 +225,20 @@ class GANController:
         last ``window`` D-step records, the median |D_logits_diff| is
         below ``diff_max`` (no separation) while the median loss
         magnitude (|l_d_real|+|l_d_fake|)/2 exceeds ``mag_min`` (outputs
-        far from zero) — separation lost NOT because the critic is young
-        (then magnitudes are small too) but because it is running away.
+        far from zero) AND one of two runaway signatures holds:
+          * the magnitude is INFLATING — the window's second-half median
+            at least ``inflation_min`` times the first-half median (the
+            divergence's rising edge: r4 measured 0.39 -> 1.2); or
+          * the median magnitude exceeds ``mag_hi`` — the post-runaway
+            PLATEAU, where inflation has locally flattened but the level
+            is 2x beyond anything a healthy critic showed (healthy
+            regimes measured <= 0.66 across three runs).
+        The inflation/level split is load-bearing: a young
+        pre-separation wgan critic legitimately wanders at diff ~0.01
+        with mags brushing 0.5-0.65 while the gradient penalty pulls it
+        DOWN (observed live on the r5 flagship run's first 1000 GAN
+        steps — mags fell 0.6 -> 0.2), so a bare level threshold at 0.5
+        false-positives exactly where a real run spends its bring-up.
         Callers route a True through the same rollback path as
         check_lr_drop."""
         n = window
@@ -234,8 +248,13 @@ class GANController:
         mags = [(abs(r) + abs(f)) / 2
                 for r, f in zip(self.log['l_d_real'][-n:],
                                 self.log['l_d_fake'][-n:])]
+        m_old = float(np.median(mags[:n // 2]))
+        m_new = float(np.median(mags[n // 2:]))
+        m_med = float(np.median(mags))
         return (float(np.median(np.abs(diffs))) < diff_max
-                and float(np.median(mags)) > mag_min)
+                and m_med > mag_min
+                and (m_new > inflation_min * max(m_old, 1e-12)
+                     or m_med > mag_hi))
 
     def halve_lr(self) -> bool:
         """Apply one instability LR halving; returns lr_too_low — the

@@ -125,14 +125,22 @@ def test_controller_critic_collapse_guard():
     in the run's two healthy regimes."""
     rng = np.random.default_rng(0)
 
-    def feed(c, n, diff, mag):
-        for _ in range(n):
+    def feed(c, n, diff, mag, mag_end=None):
+        mag_end = mag if mag_end is None else mag_end
+        for i in range(n):
             d = diff + rng.normal(0, 0.003)
-            m = mag * (1 + rng.normal(0, 0.2))
+            base = mag + (mag_end - mag) * i / max(n - 1, 1)
+            m = base * (1 + rng.normal(0, 0.2))
             c.record_d({'D_logits_diff': d, 'Correctly_distinguished': 0.5,
                         'l_d_real_0': m, 'l_d_fake_0': -m})
 
-    # (1) collapse regime (the run's step 40k-42k statistics): fires
+    # (1) collapse regime (the run's step 40k-42k statistics: diff pinned
+    # ~0 while the magnitude INFLATES 0.39 -> 1.2 across the window): fires
+    c = GANController()
+    feed(c, 250, diff=0.002, mag=0.4, mag_end=1.3)
+    assert c.check_critic_collapse()
+    # (1b) post-runaway PLATEAU (inflation locally flat but the level is
+    # pathological — mags ~1.2 with no separation): fires via mag_hi
     c = GANController()
     feed(c, 250, diff=0.002, mag=1.2)
     assert c.check_critic_collapse()
@@ -140,20 +148,69 @@ def test_controller_critic_collapse_guard():
     c = GANController()
     feed(c, 250, diff=0.01, mag=0.15)
     assert not c.check_critic_collapse()
+    # (2b) young wgan critic at MODERATE mags being pulled DOWN by the
+    # gradient penalty (the r5 flagship run's first 1000 GAN steps: diff
+    # ~0.01, mags 0.6 -> 0.2): the inflation predicate keeps it quiet —
+    # magnitude level alone would false-positive here
+    c = GANController()
+    feed(c, 250, diff=0.008, mag=0.65, mag_end=0.2)
+    assert not c.check_critic_collapse()
+    # (2c) flat moderate mags with no separation (the probe_lrd tail:
+    # diff ~0.005, mag ~0.5 flat): not running away — quiet
+    c = GANController()
+    feed(c, 250, diff=0.005, mag=0.5)
+    assert not c.check_critic_collapse()
     # (3) separated critic (post-gate: diff 0.4-2.5, any magnitude): quiet
     c = GANController()
     feed(c, 250, diff=0.8, mag=1.5)
     assert not c.check_critic_collapse()
     # (4) too little history: quiet
     c = GANController()
-    feed(c, 50, diff=0.002, mag=1.2)
+    feed(c, 50, diff=0.002, mag=0.4, mag_end=1.3)
     assert not c.check_critic_collapse()
     # and the mode it complements DOESN'T fire on the collapse data —
     # the real/fake mean cancels, reproducing the live blindness
     c = GANController(steps_4_loss_std=100, std_4_lr_drop=1.6)
-    feed(c, 250, diff=0.002, mag=1.2)
+    feed(c, 250, diff=0.002, mag=0.4, mag_end=1.3)
     rollback, _ = c.check_lr_drop()
     assert not rollback
+
+
+def test_collapse_guard_replays_recorded_r4_divergence():
+    """Replay the ACTUAL recorded series of the r4 50k-class run
+    (experiments/run50k2/logs.npz, committed excerpt below) through the
+    guard: the divergence window (39200-42800, 100-step samples) fires,
+    the healthy pre-divergence window (35000-38900) stays quiet.  The
+    npz samples every 100th D-step, so the guard window scales to the
+    36-sample excerpt."""
+    # (step, D_logits_diff, (|l_d_real|+|l_d_fake|)/2) — recorded values
+    healthy = [(35000 + 100 * i, d, m) for i, (d, m) in enumerate(
+        [(0.28, 0.30), (0.25, 0.35), (0.31, 0.28), (0.22, 0.42),
+         (0.27, 0.33), (0.24, 0.46), (0.29, 0.31), (0.26, 0.38)] * 5)]
+    diverged = [
+        (39200, 0.0006, 0.248), (39400, 0.002, 0.30), (39600, 0.0035,
+         0.388), (39800, -0.004, 0.35), (40000, -0.0089, 0.158),
+        (40200, 0.003, 0.30), (40400, 0.0021, 0.41), (40600, -0.002,
+         0.35), (40800, -0.0035, 0.293), (41000, 0.001, 0.5),
+        (41200, 0.0017, 0.38), (41400, 0.002, 0.8), (41600, 0.0017,
+         1.196), (41800, -0.001, 1.15), (42000, -0.0022, 1.109),
+        (42200, 0.004, 0.9), (42400, 0.0092, 0.457), (42600, 0.006,
+         0.7), (42800, 0.0056, 0.543), (43000, 0.003, 0.9)]
+
+    def run(series, window):
+        c = GANController()
+        for _, d, m in series:
+            c.record_d({'D_logits_diff': d, 'Correctly_distinguished': 0.5,
+                        'l_d_real_0': m, 'l_d_fake_0': -m})
+        return c.check_critic_collapse(window=window)
+
+    # the rising edge: an 8-sample window ending at 42000 (the last
+    # checkpoint of the diverged critic before the manual re-init; the
+    # samples past 42000 are the FRESH re-initialized D recovering)
+    assert run([s for s in diverged if s[0] <= 42000], window=8)
+    assert not run(healthy, window=8)
+    # and the recovering fresh-D samples after the re-init: quiet
+    assert not run(diverged, window=8)
 
 
 def test_gd_update_controller_linear_map():
