@@ -48,6 +48,18 @@ def main(argv=None):
     p.add_argument('--ckpt_freq', type=int, default=1000)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--resume', action='store_true')
+    p.add_argument('--d_verification', default='initial_gradual',
+                   choices=['past', 'current', 'convergence', 'initial',
+                            'initial_gradual'],
+                   help="the reference JPEG recipe gates G on "
+                        "'initial_gradual' (train_JPEG.json:93; "
+                        'DecompCNN_model.py:536-567): once the D first '
+                        'verifies, G steps flow, with a 100x-window '
+                        're-verification before locking')
+    p.add_argument('--min_d_correct', type=float, default=0.1,
+                   help='min fraction correctly distinguished for the '
+                        'verification window — the JPEG recipe uses the '
+                        'lax 0.1 (train_JPEG.json:96), not SR\'s 0.9')
     p.add_argument('--chroma', action='store_true',
                    help='train the explorable-chroma generator conditioned '
                         'on a (frozen) Y generator — the reference '
@@ -125,7 +137,8 @@ def main(argv=None):
     state = trainer.init_state(g_vars, d_vars,
                                jax.random.PRNGKey(args.seed + 2))
     ctl = GANController(d_update_ratio=10, d_valid_steps_4_g=10,
-                        d_verification='past')
+                        d_verification=args.d_verification,
+                        min_mean_d_correct=args.min_d_correct)
     os.makedirs(args.exp_dir, exist_ok=True)
     from exsr.utils.misc import stage_scalars, read_scalars
     from exsr.utils.logging import MetricLog
@@ -145,6 +158,7 @@ def main(argv=None):
             ctl.generator_started_learning = \
                 ctl_state['generator_started_learning']
             ctl.verified_d_saved = ctl_state['verified_d_saved']
+            ctl.d_verified = bool(ctl_state.get('d_verified', False))
         if os.path.exists(log_path):
             mlog.load(log_path, max_step=ctl.step)
         print('resumed at step', ctl.step)
@@ -195,7 +209,10 @@ def main(argv=None):
         return {'step': ctl.step,
                 'generator_started_learning':
                     ctl.generator_started_learning,
-                'verified_d_saved': ctl.verified_d_saved}
+                'verified_d_saved': ctl.verified_d_saved,
+                # the initial/initial_gradual gate is sticky once
+                # verified — it must survive resume
+                'd_verified': ctl.d_verified}
 
     t0 = time.time()
     log_accum = {}
