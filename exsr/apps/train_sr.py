@@ -32,6 +32,8 @@ def main(argv=None):
     p.add_argument('--batch', type=int, default=16)
     p.add_argument('--nb', type=int, default=23)
     p.add_argument('--nf', type=int, default=64)
+    p.add_argument('--gc', type=int, default=32,
+                   help='RRDB dense-growth channels (network_G.gc)')
     p.add_argument('--d_nb', type=int, default=10)
     p.add_argument('--d_nf', type=int, default=64)
     p.add_argument('--d_strides', type=int, default=5)
@@ -121,6 +123,8 @@ def main(argv=None):
             args.nb = net_g.nb
         if args.nf == p.get_default('nf'):
             args.nf = net_g.nf
+        if net_g.gc and args.gc == p.get_default('gc'):
+            args.gc = net_g.gc
         use_cem = net_g.cem_arch
         if exp.network_d.n_layers and args.d_nb == p.get_default('d_nb'):
             args.d_nb = exp.network_d.n_layers
@@ -195,7 +199,7 @@ def main(argv=None):
         g_params = g.init(rng, jnp.zeros((1, lr_patch, lr_patch, 3)))
         raw_apply = lambda pp, x, z: g.apply(pp, x)
     else:
-        g = RRDBNet(nb=args.nb, nf=args.nf, upscale=cfg.scale,
+        g = RRDBNet(nb=args.nb, nf=args.nf, gc=args.gc, upscale=cfg.scale,
                     latent_channels=nz)
         g_params = g.init(rng, jnp.zeros((1, lr_patch, lr_patch, 3)),
                           jnp.zeros((1, cfg.patch_size,

@@ -46,6 +46,10 @@ def main():
         '"relativistic": 0, "norm_type": "batch", "n_layers": 10,',
         '"relativistic": 0, "norm_type": "batch", "n_layers": 10, '
         '"num_2_strides": 2,')
+    # the r4 runs were trained when train_sr ignored network_G.gc (the
+    # RRDB default 32 was always used); now that gc is wired, the opt
+    # must state what the checkpoint actually contains
+    opt = opt.replace('"gc": 16', '"gc": 32')
     with open(os.path.join(EXP, 'opt.json'), 'w') as f:
         f.write(opt)
     dst = os.path.join(EXP, 'ckpt', '40000')
