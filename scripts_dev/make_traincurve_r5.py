@@ -1,0 +1,118 @@
+"""Assemble TRAINCURVE_r05.json + artifacts/run_flagship_r5 from the
+FLAGSHIP-WIDTH training run (VERDICT-r4 next #1): nb=23 nf=64 gc=32 G
+(the paper model's exact widths, train_explorable_SR.json:48-52) + VGG128
+nf=64 D, HR patch 208, batch 16 (--accum_g 2), wgan-gp, with BOTH
+rollback guards armed — std_4_lr_drop=1.6 and --collapse_guard (hardened
+this round with the runaway-signature predicate after the bare level
+threshold was observed brushing a healthy young critic's statistics live
+on this very run).
+
+Run after the run + post-run eval:
+    python scripts_dev/make_traincurve_r5.py
+"""
+import json
+import os
+import shutil
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def series(d, k, rnd=3, every=1, dedupe=False):
+    if k not in d.files:
+        return []
+    pts = [[int(s), round(float(v), rnd)] for s, v in d[k]]
+    if dedupe:
+        kept = [p for i, p in enumerate(pts)
+                if i in (0, len(pts) - 1) or p[1] != pts[i - 1][1]]
+        return kept
+    return pts[::every] if every > 1 else pts
+
+
+def main():
+    exp = os.path.join(ROOT, 'experiments/run_flagship_r5')
+    art = os.path.join(ROOT, 'artifacts/run_flagship_r5')
+    os.makedirs(art, exist_ok=True)
+    d = np.load(os.path.join(exp, 'logs.npz'), allow_pickle=True)
+    shutil.copy(os.path.join(exp, 'logs.npz'), art)
+    shutil.copy(os.path.join(exp, 'opt.json'), art)
+    for sub in ('dashboards', 'eval', 'eval_sweep'):
+        if os.path.isdir(os.path.join(exp, sub)):
+            shutil.copytree(os.path.join(exp, sub),
+                            os.path.join(art, sub), dirs_exist_ok=True)
+
+    gate_open = (int(d['l_g_gan'][0][0])
+                 if 'l_g_gan' in d.files and len(d['l_g_gan']) else None)
+    final_step = max(int(d[k][-1][0]) for k in d.files if len(d[k]))
+    stds = series(d, 'D_loss_STD', 4)
+    n_over = sum(1 for _, v in stds if v > 1.6)
+    rollbacks = series(d, 'rollback_lr_scale', 6)
+    sps = [v for _, v in series(d, 'steps_per_s', 4)]
+    out = {
+        'what': ('VERDICT-r4 next #1: the GAN phase at FLAGSHIP width '
+                 '(nb=23 nf=64 gc=32, HR patch 208, batch 16, accum_g 2 '
+                 'for the measured HBM ceiling) on the real TPU v5e via '
+                 'the train_sr CLI — the paper model\'s exact G/D '
+                 'configuration (train_explorable_SR.json:18-21,48-52) '
+                 'with BOTH rollback guards armed: the reference-'
+                 'semantics D-loss-STD trigger at the tuned 1.6 and the '
+                 'exsr critic-collapse guard (--collapse_guard). No '
+                 'flagship checkpoint survived r3, so the init phase '
+                 '(1500 pixel+range steps) was retrained from scratch.'),
+        'guards': {
+            'd_loss_std': {
+                'armed_at': 1.6,
+                'windows_logged': len(stds),
+                'windows_over_threshold': n_over,
+                'D_loss_STD_max': max((v for _, v in stds), default=None),
+                'fired': n_over > 0,
+            },
+            'collapse_guard': {
+                'armed': True,
+                'rollback_events': rollbacks,
+                'fired': len(rollbacks) > n_over,
+                'note': ('hardened mid-run: the live young critic '
+                         'wandered at diff ~0.01 with |l_d| brushing '
+                         '0.5-0.65 while the gradient penalty pulled it '
+                         'down — inside the original level-only firing '
+                         'region; the guard now additionally requires a '
+                         'runaway signature (window-half inflation '
+                         '>=1.25x or a >1.0 plateau) and the run was '
+                         'cleanly stopped/resumed at 2500 to arm the '
+                         'hardened version (controller.'
+                         'check_critic_collapse)'),
+            },
+        },
+        'final_step': final_step,
+        'init_phase_steps': 1500,
+        'gan_steps': final_step - 1500,
+        'gate_opened_step': gate_open,
+        'gan_step_per_s': (round(float(np.median(sps[40:])), 3)
+                           if len(sps) > 60 else None),
+        'val_psnr': series(d, 'psnr_val', dedupe=True),
+        'val_per_pixel_std': series(d, 'per_pix_STD_val', 6, dedupe=True),
+        'l_g_gan': series(d, 'l_g_gan', 4, every=10),
+        'l_d_total': series(d, 'l_d_total', 4, every=10),
+        'D_correct': series(d, 'Correctly_distinguished', 4, every=10),
+        'D_logits_diff': series(d, 'D_logits_diff', 4, every=10),
+        'D_loss_STD_series': stds,
+    }
+    evalp = os.path.join(exp, 'eval', 'summary.json')
+    if os.path.exists(evalp):
+        out['final_eval'] = json.load(open(evalp))
+    with open(os.path.join(art, 'summary.json'), 'w') as f:
+        json.dump(out, f, indent=1)
+    slim = {k: v for k, v in out.items()
+            if k not in ('l_g_gan', 'l_d_total', 'D_correct',
+                         'D_logits_diff', 'D_loss_STD_series')}
+    slim['full_series'] = 'artifacts/run_flagship_r5/summary.json + logs.npz'
+    with open(os.path.join(ROOT, 'TRAINCURVE_r05.json'), 'w') as f:
+        json.dump(slim, f, indent=1)
+    print('final step', final_step, 'gate', gate_open,
+          'rollbacks', rollbacks)
+
+
+if __name__ == '__main__':
+    sys.exit(main())
