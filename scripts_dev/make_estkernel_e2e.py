@@ -39,7 +39,7 @@ CASES = [
     ('aniso', dict(size=13, sig1=2.0, sig2=0.8, theta=0.6)),
     ('aniso_steep', dict(size=13, sig1=2.6, sig2=0.6, theta=2.2)),
 ]
-CKPT = os.path.join(ROOT, 'experiments/run50k2/g_export/56000')
+CKPT = os.path.join(ROOT, 'experiments/run50k2/g_export')
 
 
 def main():
