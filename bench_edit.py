@@ -19,6 +19,22 @@ import sys
 import time
 
 
+REPEATS = 3
+
+
+def _best_of(fn, n=REPEATS):
+    """Min over n repeats + the raw samples.
+
+    The r4 artifact recorded a single-shot 235.74 ms e2e at the 48-LR
+    window vs 23.5 in r3 — a one-off stall (axon tunnel RPC variance
+    reaches seconds, see training t_fetch logs) or a mid-measure
+    recompile can poison a single sample; the steady-state cost the GUI
+    user pays is the min.
+    """
+    samples = [fn() for _ in range(n)]
+    return min(samples), [round(1000 * s, 2) for s in samples]
+
+
 def main(out_path: str | None = None):
     import numpy as np
     import jax.numpy as jnp
@@ -51,10 +67,15 @@ def main(out_path: str | None = None):
         data = {'desired': desired}
         s.optimize('l1', data=data, max_iters=30)  # compile
         s.undo()
-        t0 = time.perf_counter()
-        res = s.optimize('l1', data=data, max_iters=30)
-        e2e = (time.perf_counter() - t0) / max(len(res['losses']), 1)
-        s.undo()
+
+        def run_e2e():
+            t0 = time.perf_counter()
+            res = s.optimize('l1', data=data, max_iters=30)
+            dt = (time.perf_counter() - t0) / max(len(res['losses']), 1)
+            s.undo()
+            return dt
+
+        e2e, e2e_all = _best_of(run_e2e)
 
         # pure compiled loop: relaunch the cached round program directly
         key = [k for k in s._zopt_cache][-1]
@@ -72,27 +93,38 @@ def main(out_path: str | None = None):
         theta = jnp.asarray(np.arctanh(np.clip(z_crop, -1 + 1e-7,
                                                1 - 1e-7)))
         zo.optimize_rounds(theta, n_rounds=6, obj_args=obj_args)  # warm
-        t0 = time.perf_counter()
-        out = zo.optimize_rounds(theta, n_rounds=6, obj_args=obj_args)
-        n = int(np.sum(~np.isnan(out[4])))
-        scan = (time.perf_counter() - t0) / max(n, 1)
+
+        def run_scan():
+            t0 = time.perf_counter()
+            out = zo.optimize_rounds(theta, n_rounds=6, obj_args=obj_args)
+            n = int(np.sum(~np.isnan(out[4])))
+            return (time.perf_counter() - t0) / max(n, 1)
+
+        scan, scan_all = _best_of(run_scan)
         # amortized cost per explored alternative: the GUI's alternatives
         # browser (GUI.py DisplayedImageSelection / random alternatives)
         # optimizes B latent candidates in ONE batched program, so the
         # per-alternative step cost divides the (dispatch-floor-bound)
         # per-step time by B (VERDICT r3 next #2a)
         per_alt = {}
+        per_alt_all = {}
         for B_ALT in (8, 16):
             s.optimize('l1', data=data, max_iters=30,
                        n_alternatives=B_ALT)  # compile
             s.undo()
-            t0 = time.perf_counter()
-            res_b = s.optimize('l1', data=data, max_iters=30,
-                               n_alternatives=B_ALT)
-            e2e_b = (time.perf_counter() - t0) / max(
-                len(res_b['losses']), 1)
-            s.undo()
+
+            def run_alt(B_ALT=B_ALT):
+                t0 = time.perf_counter()
+                res_b = s.optimize('l1', data=data, max_iters=30,
+                                   n_alternatives=B_ALT)
+                dt = (time.perf_counter() - t0) / max(
+                    len(res_b['losses']), 1)
+                s.undo()
+                return dt
+
+            e2e_b, alt_all = _best_of(run_alt)
             per_alt[B_ALT] = round(1000 * e2e_b / B_ALT, 2)
+            per_alt_all[B_ALT] = alt_all
 
         rec = {
             'metric': 'z_edit_latency',
@@ -103,6 +135,9 @@ def main(out_path: str | None = None):
             'vs_target_5ms': round(1000 * scan / 5.0, 2),
             'e2e_ms_per_step_per_alt_b8': per_alt[8],
             'e2e_ms_per_step_per_alt_b16': per_alt[16],
+            'repeats': {'scan_ms': scan_all, 'e2e_ms': e2e_all,
+                        'e2e_ms_b8': per_alt_all[8],
+                        'e2e_ms_b16': per_alt_all[16]},
         }
         records.append(rec)
         print(json.dumps(rec), flush=True)

@@ -1,0 +1,100 @@
+#!/bin/bash
+# Round-5 TPU tail driver: babysit the flagship run to completion
+# (resuming it if the process dies before niter — the session hosting it
+# was killed once already this round), then execute the post-run TPU
+# queue STRICTLY SEQUENTIALLY (one TPU job at a time, verify-skill rule).
+#
+# Launch detached so it survives session restarts:
+#   setsid nohup bash scripts_dev/r5_tail.sh > experiments/r5_tail.log 2>&1 &
+#
+# Queue (VERDICT-r4 next-steps #1-#6):
+#   1. flagship run to 14000 (resume-on-death loop)
+#   2. post_flagship_r5.sh  — export_g + eval tables + TRAINCURVE_r05
+#   3. bench_edit.py        — BENCH_EDIT_r05.json (best-of-3 repeats)
+#   4. probe_serve_pad.py   — the V5E_MS_PER_FWD serving table numbers
+#   5. collapse-guard live fire (resume the staged diverged state)
+#   6. make_estkernel_e2e.py
+#   7. run_jpeg_r5.sh 8000  — the JPEG twin's long run + QF evals
+# Commits/doc updates happen interactively as each artifact lands.
+cd /root/repo
+RUN=experiments/run_flagship_r5
+# target step, adjustable mid-flight: write a lower number into
+# experiments/r5_tail_target and SIGINT the train pid to start the tail
+# early (clean SIGINT stop/resume is safe — verify-skill gotchas)
+target() { cat experiments/r5_tail_target 2>/dev/null || echo 14000; }
+
+last_step() {
+  tail -c 40000 "$RUN/run.log" 2>/dev/null \
+    | grep -o '"step": [0-9]*' | tail -1 | grep -o '[0-9]*'
+}
+
+train_alive() {
+  pgrep -x python -a 2>/dev/null | grep -q "exp_dir $RUN" && return 0
+  return 1
+}
+
+echo "=== r5 tail watcher start $(date)"
+RESUMES=0
+while true; do
+  if train_alive; then sleep 120; continue; fi
+  STEP=$(last_step); STEP=${STEP:-0}
+  NITER=$(target)
+  if [ "$STEP" -ge $((NITER - 10)) ]; then
+    echo "=== flagship run complete at step $STEP $(date)"; break
+  fi
+  if [ "$RESUMES" -ge 5 ]; then
+    echo "=== giving up resuming after 5 attempts (step $STEP) $(date)"
+    break
+  fi
+  RESUMES=$((RESUMES + 1))
+  echo "=== train proc dead at step $STEP — resume #$RESUMES $(date)"
+  OPT=$RUN/opt.json
+  COMMON="--opt $OPT --hr_dir experiments/data/train \
+    --val_hr_dir experiments/data/val --exp_dir $RUN --val_freq 250 \
+    --ckpt_freq 500 --print_freq 50 --max_keep 8 --accum_g 2"
+  python -m exsr.apps.train_sr $COMMON --collapse_guard \
+    --niter "$NITER" --resume >> $RUN/run.log 2>&1
+  echo "=== train proc exited (rc $?) $(date)"
+done
+
+set -x
+bash scripts_dev/post_flagship_r5.sh \
+  > experiments/post_flagship_r5.log 2>&1
+python bench_edit.py BENCH_EDIT_r05.json \
+  > experiments/bench_edit_r5.log 2>&1
+python scripts_dev/probe_serve_pad.py \
+  > experiments/serve_pad_r5.log 2>&1
+python -m exsr.apps.train_sr --opt experiments/collapse_fire_r5/opt.json \
+  --hr_dir experiments/data/train \
+  --exp_dir experiments/collapse_fire_r5 \
+  --resume --collapse_guard --max_keep 8 --ckpt_freq 250 \
+  --print_freq 50 --niter 44000 \
+  > experiments/collapse_fire_r5/run.log 2>&1
+python scripts_dev/make_estkernel_e2e.py \
+  > experiments/estkernel_e2e_r5.log 2>&1
+# JPEG long run, time-capped so the chip is free for the end-of-round
+# bench: clean-SIGINT the trainer at the cap (checkpoints every 500 keep
+# the state), then run the QF evals on the latest checkpoint regardless.
+# deadline (epoch seconds) by which JPEG training must stop; override by
+# writing experiments/r5_jpeg_deadline. Default 23:45 UTC tonight — the
+# round ends ~00:18 and the QF evals + end-of-round bench need the chip.
+DEADLINE=$(cat experiments/r5_jpeg_deadline 2>/dev/null \
+  || date -d '23:45 today' +%s)
+NOW=$(date +%s)
+JPEG_CAP_S=$((DEADLINE - NOW))
+[ "$JPEG_CAP_S" -lt 900 ] && JPEG_CAP_S=900
+EXP=experiments/run_jpeg_r5
+JCOMMON="--data_dir experiments/data/train --val_dir experiments/data/val \
+  --patch 256 --batch 16 --nf 320 --nb 10 --latent_channels 64 \
+  --qf_min 5 --qf_max 50 --exp_dir $EXP --val_freq 500 --ckpt_freq 500 \
+  --print_freq 100"
+timeout --signal=INT --kill-after=120 "$JPEG_CAP_S" \
+  python -m exsr.apps.train_jpeg $JCOMMON --niter 8000 \
+  > experiments/run_jpeg_r5.log 2>&1
+for QF in 10 30 50; do
+  python -m exsr.apps.eval_jpeg --data_dir experiments/data/val --qf $QF \
+    --nf 320 --nb 10 --latent_channels 64 --checkpoint $EXP/ckpt \
+    --out_dir $EXP/eval_qf$QF --num_z 3 \
+    >> experiments/run_jpeg_r5.log 2>&1
+done
+echo "=== r5 tail done $(date)"
