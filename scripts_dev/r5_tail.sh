@@ -1,26 +1,31 @@
 #!/bin/bash
 # Round-5 TPU tail driver: babysit the flagship run to completion
-# (resuming it if the process dies before niter — the session hosting it
-# was killed once already this round), then execute the post-run TPU
-# queue STRICTLY SEQUENTIALLY (one TPU job at a time, verify-skill rule).
+# (resuming it if the process dies before the target — the session
+# hosting it was killed once already this round), early-stop it cleanly
+# at the adjustable target, then execute the post-run TPU queue STRICTLY
+# SEQUENTIALLY (one TPU job at a time, verify-skill rule).
 #
 # Launch detached so it survives session restarts:
 #   setsid nohup bash scripts_dev/r5_tail.sh > experiments/r5_tail.log 2>&1 &
 #
 # Queue (VERDICT-r4 next-steps #1-#6):
-#   1. flagship run to 14000 (resume-on-death loop)
+#   1. flagship run to target (resume-on-death loop, SIGINT-at-target —
+#      clean SIGINT stop/resume is safe, verify-skill gotchas)
 #   2. post_flagship_r5.sh  — export_g + eval tables + TRAINCURVE_r05
 #   3. bench_edit.py        — BENCH_EDIT_r05.json (best-of-3 repeats)
 #   4. probe_serve_pad.py   — the V5E_MS_PER_FWD serving table numbers
 #   5. collapse-guard live fire (resume the staged diverged state)
 #   6. make_estkernel_e2e.py
-#   7. run_jpeg_r5.sh 8000  — the JPEG twin's long run + QF evals
+#   7. JPEG long run (deadline-capped) + QF evals
 # Commits/doc updates happen interactively as each artifact lands.
+#
+# PID discipline: the trainer pid lives in /tmp/flagship_r5.pid (written
+# here on resume); liveness and the early-stop SIGINT go through that
+# exact pid + a /proc cmdline check — NEVER pattern-kill.
 cd /root/repo
 RUN=experiments/run_flagship_r5
-# target step, adjustable mid-flight: write a lower number into
-# experiments/r5_tail_target and SIGINT the train pid to start the tail
-# early (clean SIGINT stop/resume is safe — verify-skill gotchas)
+PIDFILE=/tmp/flagship_r5.pid
+# target step, adjustable mid-flight via experiments/r5_tail_target
 target() { cat experiments/r5_tail_target 2>/dev/null || echo 14000; }
 
 last_step() {
@@ -28,17 +33,32 @@ last_step() {
     | grep -o '"step": [0-9]*' | tail -1 | grep -o '[0-9]*'
 }
 
-train_alive() {
-  pgrep -x python -a 2>/dev/null | grep -q "exp_dir $RUN" && return 0
-  return 1
+train_pid() {
+  local p
+  p=$(cat "$PIDFILE" 2>/dev/null) || return 1
+  [ -n "$p" ] || return 1
+  grep -q "train_sr" "/proc/$p/cmdline" 2>/dev/null || return 1
+  echo "$p"
 }
 
-echo "=== r5 tail watcher start $(date)"
+echo "=== r5 tail watcher v2 start $(date)"
 RESUMES=0
 while true; do
-  if train_alive; then sleep 120; continue; fi
   STEP=$(last_step); STEP=${STEP:-0}
   NITER=$(target)
+  P=$(train_pid)
+  if [ -n "$P" ]; then
+    if [ "$STEP" -ge "$NITER" ]; then
+      echo "=== target $NITER reached at step $STEP — SIGINT $P $(date)"
+      kill -INT "$P"
+      # clean KeyboardInterrupt exit; wait for it (no timeout-kill: the
+      # TPU wedge hazard is SIGKILL mid-execution)
+      while kill -0 "$P" 2>/dev/null; do sleep 10; done
+      echo "=== trainer exited after SIGINT $(date)"
+      break
+    fi
+    sleep 60; continue
+  fi
   if [ "$STEP" -ge $((NITER - 10)) ]; then
     echo "=== flagship run complete at step $STEP $(date)"; break
   fi
@@ -53,7 +73,9 @@ while true; do
     --val_hr_dir experiments/data/val --exp_dir $RUN --val_freq 250 \
     --ckpt_freq 500 --print_freq 50 --max_keep 8 --accum_g 2"
   python -m exsr.apps.train_sr $COMMON --collapse_guard \
-    --niter "$NITER" --resume >> $RUN/run.log 2>&1
+    --niter 14000 --resume >> $RUN/run.log 2>&1 &
+  echo $! > "$PIDFILE"
+  wait $!
   echo "=== train proc exited (rc $?) $(date)"
 done
 
@@ -72,12 +94,9 @@ python -m exsr.apps.train_sr --opt experiments/collapse_fire_r5/opt.json \
   > experiments/collapse_fire_r5/run.log 2>&1
 python scripts_dev/make_estkernel_e2e.py \
   > experiments/estkernel_e2e_r5.log 2>&1
-# JPEG long run, time-capped so the chip is free for the end-of-round
-# bench: clean-SIGINT the trainer at the cap (checkpoints every 500 keep
-# the state), then run the QF evals on the latest checkpoint regardless.
-# deadline (epoch seconds) by which JPEG training must stop; override by
-# writing experiments/r5_jpeg_deadline. Default 23:45 UTC tonight — the
-# round ends ~00:18 and the QF evals + end-of-round bench need the chip.
+# JPEG long run, deadline-capped so the chip is free for the
+# end-of-round bench: clean-SIGINT the trainer at the cap (checkpoints
+# every 500 keep the state), then run the QF evals regardless.
 DEADLINE=$(cat experiments/r5_jpeg_deadline 2>/dev/null \
   || date -d '23:45 today' +%s)
 NOW=$(date +%s)
