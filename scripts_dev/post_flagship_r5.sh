@@ -21,4 +21,7 @@ python -m exsr.apps.eval_sr --opt $EXP/opt.json \
     --latent uniform_sweep --num_z 3 --out_dir $EXP/eval_sweep
 echo "=== traincurve artifact $(date)"
 python scripts_dev/make_traincurve_r5.py
+echo "=== layout probe (PERF.md lever table, cheap probe 1) $(date)"
+python scripts_dev/probe_layout.py \
+    > experiments/probe_layout_r5.log 2>&1 || true
 echo "=== done $(date)"
