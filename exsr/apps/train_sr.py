@@ -19,6 +19,20 @@ import time
 import numpy as np
 
 
+def default_collapse_guard(gan_type: str | None) -> bool:
+    """Collapse-guard arming default when the CLI flag is not given.
+
+    ON for wgan-family losses — the symmetric-collapse mode the guard
+    detects (controller.check_critic_collapse) is a wgan critic failure
+    observed live (r4 lr_D=1e-4 divergence), its thresholds are
+    calibrated on wgan loss scales, and the hardened predicate survived
+    10k+ live flagship wgan-gp steps without a false positive.  OFF for
+    sigmoid/vanilla GAN losses, whose bounded ~0.69-at-chance log-losses
+    sit inside the magnitude thresholds and would false-positive.
+    """
+    return bool(gan_type) and gan_type.startswith('wgan')
+
+
 def main(argv=None):
     from exsr.utils.compile import enable_persistent_cache
     enable_persistent_cache()
@@ -71,16 +85,21 @@ def main(argv=None):
                         'path.pretrained_model_G load (base_model.py:146-190,'
                         ' train_explorable_SR.json:40); ignored when '
                         '--resume finds checkpoints')
-    p.add_argument('--collapse_guard', action='store_true',
+    p.add_argument('--collapse_guard', action=argparse.BooleanOptionalAction,
+                   default=None,
                    help='arm the symmetric-critic-collapse rollback '
                         '(controller.check_critic_collapse) — an exsr '
                         'extension for wgan-type losses: rolls back with '
                         'halved LR when |D_logits_diff| ~ 0 while the '
                         'critic outputs inflate, a divergence mode the '
-                        "reference's D-loss-STD trigger cancels on. Off "
-                        'by default; the magnitude threshold assumes '
-                        'wgan loss scales (vanilla GAN logs ~0.69 at '
-                        'chance and would false-positive)')
+                        "reference's D-loss-STD trigger cancels on. "
+                        'Default: ON for wgan-type gan_type (calibrated '
+                        'on three real runs incl. a replayed live '
+                        'divergence + a live fire, artifacts/'
+                        'collapse_fire_r5), OFF otherwise — the '
+                        'magnitude threshold assumes wgan loss scales '
+                        '(vanilla GAN logs ~0.69 at chance and would '
+                        'false-positive); --no-collapse_guard disarms')
     p.add_argument('--init_phase', action='store_true',
                    help='pixel+range pretraining (no GAN/D) — the '
                         'zero-egress stand-in for the reference\'s '
@@ -150,6 +169,11 @@ def main(argv=None):
                                'feature_weight': None, 'gan_weight': 0.0,
                                'optimal_z_weight': None,
                                'latent_weight': None, 'lr_g': 2e-4})
+
+    if args.collapse_guard is None:
+        args.collapse_guard = default_collapse_guard(cfg.gan_type)
+    print(f'collapse_guard armed: {args.collapse_guard} '
+          f'(gan_type={cfg.gan_type})', flush=True)
 
     nz = cfg.num_latent_channels
     if use_cem:

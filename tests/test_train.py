@@ -176,6 +176,21 @@ def test_controller_critic_collapse_guard():
     assert not rollback
 
 
+def test_collapse_guard_default_on_for_wgan():
+    """The CLI arms the collapse guard by default exactly for wgan-family
+    losses (VERDICT-r4 #4 'default it on for wgan-gp configs'): the
+    detector's magnitude thresholds are calibrated on wgan critic scales;
+    a vanilla sigmoid GAN logs ~0.69 at chance inside the firing region.
+    --collapse_guard / --no-collapse_guard still override both ways."""
+    from exsr.apps.train_sr import default_collapse_guard
+    assert default_collapse_guard('wgan-gp')
+    assert default_collapse_guard('wgan')
+    assert not default_collapse_guard('gan')
+    assert not default_collapse_guard('ragan')
+    assert not default_collapse_guard(None)
+    assert not default_collapse_guard('')
+
+
 def test_collapse_guard_replays_recorded_r4_divergence():
     """Replay the ACTUAL recorded series of the r4 50k-class run
     (experiments/run50k2/logs.npz, committed excerpt below) through the
