@@ -60,7 +60,9 @@ def main():
                  'semantics D-loss-STD trigger at the tuned 1.6 and the '
                  'exsr critic-collapse guard (--collapse_guard). No '
                  'flagship checkpoint survived r3, so the init phase '
-                 '(1500 pixel+range steps) was retrained from scratch.'),
+                 '(1000 pixel+range steps — r3 observed the init plateau '
+                 'by ~step 400 on this tile dataset) was retrained from '
+                 'scratch.'),
         'guards': {
             'd_loss_std': {
                 'armed_at': 1.6,
