@@ -21,7 +21,9 @@ downscale(SR, k_true) and the LR actually given (the fidelity the CEM
 guarantee is FOR; under a wrong kernel the guarantee binds SR to the
 wrong operator, so this is where the estimated kernel must win).
 
-Generator: the run50k2 56k-step trained export (nb=8 nf=32, Z=0).
+Generator: the r5 flagship-width trained export (nb=23 nf=64, Z=0) —
+the r4 run50k2 export did not survive the VM reset, and the flagship
+export is the stronger deployment story anyway.
 Writes artifacts/estkernel_e2e_r5/summary.json (+SR PNGs).
 Run on the TPU; ~2 min/KernelGAN estimation + forwards.
 """
@@ -39,7 +41,7 @@ CASES = [
     ('aniso', dict(size=13, sig1=2.0, sig2=0.8, theta=0.6)),
     ('aniso_steep', dict(size=13, sig1=2.6, sig2=0.6, theta=2.2)),
 ]
-CKPT = os.path.join(ROOT, 'experiments/run50k2/g_export')
+CKPT = os.path.join(ROOT, 'experiments/run_flagship_r5/g_export')
 
 
 def main():
@@ -90,7 +92,7 @@ def main():
         for path, kern in (('bicubic_assumed', None),
                            ('kernelgan_estimated', k_est),
                            ('true_kernel_oracle', k_true)):
-            cem_i, fwd = build_model(4, nb=8, nf=32, latent_channels=3,
+            cem_i, fwd = build_model(4, nb=23, nf=64, latent_channels=3,
                                      checkpoint=CKPT, upscale_kernel=kern)
             zh = (lr_np.shape[1] * 4, lr_np.shape[2] * 4)
             sr = fwd(lr_np, np.zeros((1, zh[0], zh[1], 3), np.float32))

@@ -29,7 +29,9 @@ PIDFILE=/tmp/flagship_r5.pid
 target() { cat experiments/r5_tail_target 2>/dev/null || echo 14000; }
 
 last_step() {
-  tail -c 40000 "$RUN/run.log" 2>/dev/null \
+  # the trainer's metric JSON goes to stdout; every launch of this run
+  # so far redirected it to driver.log — keep that canonical
+  tail -c 40000 "$RUN/driver.log" 2>/dev/null \
     | grep -o '"step": [0-9]*' | tail -1 | grep -o '[0-9]*'
 }
 
@@ -73,7 +75,7 @@ while true; do
     --val_hr_dir experiments/data/val --exp_dir $RUN --val_freq 250 \
     --ckpt_freq 500 --print_freq 50 --max_keep 8 --accum_g 2"
   python -m exsr.apps.train_sr $COMMON --collapse_guard \
-    --niter 14000 --resume >> $RUN/run.log 2>&1 &
+    --niter 14000 --resume >> $RUN/driver.log 2>&1 &
   echo $! > "$PIDFILE"
   wait $!
   echo "=== train proc exited (rc $?) $(date)"
@@ -86,12 +88,12 @@ python bench_edit.py BENCH_EDIT_r05.json \
   > experiments/bench_edit_r5.log 2>&1
 python scripts_dev/probe_serve_pad.py \
   > experiments/serve_pad_r5.log 2>&1
-python -m exsr.apps.train_sr --opt experiments/collapse_fire_r5/opt.json \
-  --hr_dir experiments/data/train \
-  --exp_dir experiments/collapse_fire_r5 \
-  --resume --collapse_guard --max_keep 8 --ckpt_freq 250 \
-  --print_freq 50 --niter 44000 \
-  > experiments/collapse_fire_r5/run.log 2>&1
+# the staged r4 diverged checkpoint (experiments/run50k2) was wiped by
+# the VM reset — the live fire is re-staged as a from-scratch small-run
+# divergence provocation if the script exists
+if [ -x scripts_dev/live_fire_r5.sh ]; then
+  bash scripts_dev/live_fire_r5.sh > experiments/live_fire_r5.log 2>&1 || true
+fi
 python scripts_dev/make_estkernel_e2e.py \
   > experiments/estkernel_e2e_r5.log 2>&1
 # JPEG long run, deadline-capped so the chip is free for the
