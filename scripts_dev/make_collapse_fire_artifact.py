@@ -1,9 +1,11 @@
 """Assemble artifacts/collapse_fire_r5 from the collapse-guard LIVE-FIRE
-run (VERDICT-r4 next #4): the staged resume of the r4 lr_D=1e-4 diverged
-state (experiments/collapse_fire_r5, step-40000 checkpoint of the
+run (VERDICT-r4 next #4): a fork of the r5 flagship run's final
+checkpoint resumed with lr_D jumped 30x (1e-5 -> 3e-4) under an ARMED
+--collapse_guard — the same provocation that produced the r4 recorded
 symmetric critic runaway the reference's D-loss-STD detector is provably
-blind to) under an ARMED --collapse_guard, capturing the full
-fire -> restore-before-step -> LR-halve -> recovery arc.
+blind to (the original r4 diverged-checkpoint staging was destroyed by a
+VM reset) — capturing the full fire -> restore-before-step -> LR-halve
+-> recovery arc, or the honest negative if nothing fires in the cap.
 
 Run after the r5_tail.sh collapse-fire stage:
     python scripts_dev/make_collapse_fire_artifact.py
@@ -49,20 +51,21 @@ def main():
     fire_steps = [int(m.group(1)) for ln in rollbacks
                   for m in [re.search(r'rollback to step (\d+)', ln)]
                   if m]
-    # the window around the staged divergence (resume at 40000; the r4
-    # recorded runaway inflated |l_d| 0.39 -> 1.2 by ~41600)
+    fork_path = os.path.join(exp, 'fork_step.txt')
+    fork = int(open(fork_path).read()) if os.path.exists(fork_path) else 0
+    lo = max(0, fork - 500)
     out = {
         'what': __doc__.split('\n\n')[0].replace('\n', ' '),
-        'staged_from': 'run50k2 ckpt_diverged_lrd1e-4 step 40000, '
-                       'lr_D=1e-4, patch-head D (num_2_strides=2)',
+        'staged_from': f'run_flagship_r5 ckpt step {fork} (nb=23 nf=64 '
+                       'FC-head D), lr_D jumped 1e-5 -> 3e-4',
         'fired': bool(fires),
         'fire_lines': fires,
         'rollback_lines': rollbacks,
         'rollback_events': rb,
         'rollback_steps': fire_steps,
-        'D_logits_diff': series('D_logits_diff', 5, 39500),
-        'l_d_total': series('l_d_total', 4, 39500),
-        'D_loss_STD': series('D_loss_STD', 4, 39500),
+        'D_logits_diff': series('D_logits_diff', 5, lo),
+        'l_d_total': series('l_d_total', 4, lo),
+        'D_loss_STD': series('D_loss_STD', 4, lo),
         'post_fire_recovery': None,
     }
     if fire_steps:
