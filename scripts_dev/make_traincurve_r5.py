@@ -75,21 +75,24 @@ def main():
                 'armed': True,
                 'rollback_events': rollbacks,
                 'fired': len(rollbacks) > n_over,
-                'note': ('hardened mid-run: the live young critic '
-                         'wandered at diff ~0.01 with |l_d| brushing '
-                         '0.5-0.65 while the gradient penalty pulled it '
-                         'down — inside the original level-only firing '
-                         'region; the guard now additionally requires a '
-                         'runaway signature (window-half inflation '
-                         '>=1.25x or a >1.0 plateau) and the run was '
-                         'cleanly stopped/resumed at 2500 to arm the '
-                         'hardened version (controller.'
-                         'check_critic_collapse)'),
+                'note': ('the hardened runaway-signature predicate '
+                         '(controller.check_critic_collapse: window-half '
+                         'inflation >=1.25x or a >1.0 plateau on top of '
+                         'no-separation+level) was armed for this entire '
+                         'run; the hardening was motivated by the pre-'
+                         'VM-reset first attempt, whose live young '
+                         'critic wandered at diff ~0.01 with |l_d| '
+                         'brushing 0.5-0.65 while the gradient penalty '
+                         'pulled it down — inside the original '
+                         'level-only firing region'),
             },
         },
         'final_step': final_step,
-        'init_phase_steps': 1500,
-        'gan_steps': final_step - 1500,
+        'init_phase_steps': 1000,
+        'gan_steps': final_step - 1000,
+        'process_resumes': open(os.path.join(exp, 'driver.log'))
+            .read().count('resumed at step') if os.path.exists(
+                os.path.join(exp, 'driver.log')) else None,
         'gate_opened_step': gate_open,
         'gan_step_per_s': (round(float(np.median(sps[40:])), 3)
                            if len(sps) > 60 else None),
