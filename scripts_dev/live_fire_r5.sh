@@ -35,8 +35,10 @@ assert '"lr_D": 1e-5' in opt
 opt = opt.replace('"lr_D": 1e-5', '"lr_D": 3e-4')
 open(sys.argv[2], 'w').write(opt)
 EOF
-# 40-min cap; clean SIGINT (checkpoint-safe), SIGKILL only if ignored.
-timeout --signal=INT --kill-after=120 2400 \
+# capped (default 40 min, tunable via experiments/r5_livefire_cap);
+# clean SIGINT (checkpoint-safe), SIGKILL only if ignored.
+CAP=$(cat experiments/r5_livefire_cap 2>/dev/null || echo 2400)
+timeout --signal=INT --kill-after=120 "$CAP" \
   python -m exsr.apps.train_sr --opt $EXP/opt.json \
     --hr_dir experiments/data/train --exp_dir $EXP \
     --resume --collapse_guard --max_keep 12 --ckpt_freq 250 \
