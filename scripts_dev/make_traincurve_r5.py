@@ -63,6 +63,20 @@ def main():
                  '(1000 pixel+range steps — r3 observed the init plateau '
                  'by ~step 400 on this tile dataset) was retrained from '
                  'scratch.'),
+        'infra': ('The run survived one spontaneous axon-tunnel wedge '
+                  '(~30 min, auto-resumed by the wedge watchdog) and one '
+                  'session-restart kill (resumed from checkpoint), then a '
+                  'full VM reset destroyed the trainer, all checkpoints '
+                  'and the run directory at step ~4450 — within ~50 steps '
+                  'of the D-verification gate condition being met (live '
+                  'session observation at step 4400; the committed '
+                  'D_correct series reaches 0.97 at step 4300). This '
+                  'artifact is assembled from the 30-min insurance '
+                  'snapshot (last metric rows at step 4350-4450); no '
+                  'post-gate G-step metrics, final eval table or '
+                  'checkpoint-dependent post-run item (export_g eval, '
+                  'collapse-guard live fire on a flagship fork) survived '
+                  'to be captured.'),
         'guards': {
             'd_loss_std': {
                 'armed_at': 1.6,
