@@ -19,10 +19,22 @@ import bisect
 
 import numpy as np
 
-# batch -> measured ms per forward (scripts_dev/probe_serve_pad.py, r5,
-# real TPU v5e, LR 128 -> HR 512 grouped bf16 trunk + fp32 CEM tail);
-# placeholder-empty only until the r5 probe rewrites it below
-V5E_MS_PER_FWD: dict[int, float] = {}
+# batch -> measured ms per forward (scripts_dev/probe_serve_pad.py run
+# 2026-08-20 on the real TPU v5e, LR 128 -> HR 512 grouped bf16 trunk +
+# fp32 CEM tail, best-of-warm 8-rep scan; raw lines in
+# artifacts/serve_pad_r5/probe.jsonl).  The non-monotonic cliff is real:
+# b96 takes LONGER in absolute time than b128 (1254.8 vs 792.0 ms), so
+# best_bucket pads 64/96-image requests up to 128 (+9% / +58% effective
+# throughput); requests <= 48 run at their own size.
+V5E_MS_PER_FWD: dict[int, float] = {
+    8: 123.7,
+    16: 232.8,
+    32: 445.8,
+    48: 644.4,
+    64: 864.8,
+    96: 1254.8,
+    128: 792.0,
+}
 
 # Alternatives-batch compile buckets for the interactive edit path: the
 # per-step cost of the compiled Z-edit program is dispatch-floor-bound
@@ -51,7 +63,9 @@ def best_bucket(n: int, table: dict[int, float] | None = None) -> int:
     cliff), the request jumps straight to it.  For ``n`` above the
     largest measured bucket, returns ``n`` (caller splits / runs as-is).
     """
-    table = table or V5E_MS_PER_FWD
+    # None -> the measured default; an explicitly-empty dict stays empty
+    # (identity policy) so callers can opt out of padding
+    table = V5E_MS_PER_FWD if table is None else table
     if not table:
         return n
     buckets = sorted(table)

@@ -56,8 +56,11 @@ def main():
     lo = max(0, fork - 500)
     out = {
         'what': __doc__.split('\n\n')[0].replace('\n', ' '),
-        'staged_from': f'run_flagship_r5 ckpt step {fork} (nb=23 nf=64 '
-                       'FC-head D), lr_D jumped 1e-5 -> 3e-4',
+        'staged_from': (
+            open(os.path.join(exp, 'staged_from.txt')).read().strip()
+            if os.path.exists(os.path.join(exp, 'staged_from.txt'))
+            else f'run_flagship_r5 ckpt step {fork} (nb=23 nf=64 '
+                 'FC-head D), lr_D jumped 1e-5 -> 3e-4'),
         'fired': bool(fires),
         'fire_lines': fires,
         'rollback_lines': rollbacks,

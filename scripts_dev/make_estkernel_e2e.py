@@ -41,7 +41,16 @@ CASES = [
     ('aniso', dict(size=13, sig1=2.0, sig2=0.8, theta=0.6)),
     ('aniso_steep', dict(size=13, sig1=2.6, sig2=0.6, theta=2.2)),
 ]
-CKPT = os.path.join(ROOT, 'experiments/run_flagship_r5/g_export')
+# Generator checkpoint: configurable because every trained export so far
+# (r4 run50k2, r5 flagship) has been destroyed by VM resets before this
+# script could run — ESTK_CKPT/ESTK_NB/ESTK_NF point it at whatever
+# export the current session managed to train; provenance is recorded in
+# the summary.
+CKPT = os.environ.get(
+    'ESTK_CKPT', os.path.join(ROOT, 'experiments/run_flagship_r5/g_export'))
+NB = int(os.environ.get('ESTK_NB', '23'))
+NF = int(os.environ.get('ESTK_NF', '64'))
+PROVENANCE = os.environ.get('ESTK_PROVENANCE', 'r5 flagship-width export')
 
 
 def main():
@@ -73,6 +82,8 @@ def main():
     gt8 = tensor2img(np.asarray(hr))
 
     summary = {'what': __doc__.split('\n')[0], 'ckpt': CKPT,
+               'generator': {'nb': NB, 'nf': NF,
+                             'provenance': PROVENANCE},
                'kernelgan_iters': iters, 'cases': []}
     for name, kw in CASES:
         k_true = aniso_gaussian_kernel(kw['size'], kw['sig1'], kw['sig2'],
@@ -92,7 +103,7 @@ def main():
         for path, kern in (('bicubic_assumed', None),
                            ('kernelgan_estimated', k_est),
                            ('true_kernel_oracle', k_true)):
-            cem_i, fwd = build_model(4, nb=23, nf=64, latent_channels=3,
+            cem_i, fwd = build_model(4, nb=NB, nf=NF, latent_channels=3,
                                      checkpoint=CKPT, upscale_kernel=kern)
             zh = (lr_np.shape[1] * 4, lr_np.shape[2] * 4)
             sr = fwd(lr_np, np.zeros((1, zh[0], zh[1], 3), np.float32))
