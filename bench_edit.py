@@ -15,6 +15,7 @@ Prints one JSON line per window size.  Run on the TPU: python bench_edit.py
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -57,7 +58,15 @@ def main(out_path: str | None = None):
     s.open_image(img, is_hr=True)
     H = 256
 
-    for win_lr in (16, 32, 48):
+    # focused re-measurement hooks: BENCH_EDIT_WINDOWS / _ALT_BUCKETS
+    # select a subset (e.g. one window at a b32 alternatives batch)
+    # without paying the full sweep's chip time; defaults reproduce the
+    # committed BENCH_EDIT_r05 schema exactly
+    windows = tuple(int(w) for w in os.environ.get(
+        'BENCH_EDIT_WINDOWS', '16,32,48').split(','))
+    buckets = tuple(int(b) for b in os.environ.get(
+        'BENCH_EDIT_ALT_BUCKETS', '8,16').split(','))
+    for win_lr in windows:
         w_hr = win_lr * 4
         y0 = (H - w_hr) // 2
         mask = np.zeros((H, H), np.float32)
@@ -108,7 +117,7 @@ def main(out_path: str | None = None):
         # per-step time by B (VERDICT r3 next #2a)
         per_alt = {}
         per_alt_all = {}
-        for B_ALT in (8, 16):
+        for B_ALT in buckets:
             s.optimize('l1', data=data, max_iters=30,
                        n_alternatives=B_ALT)  # compile
             s.undo()
@@ -133,11 +142,11 @@ def main(out_path: str | None = None):
             'scan_ms_per_step': round(1000 * scan, 2),
             'e2e_ms_per_step': round(1000 * e2e, 2),
             'vs_target_5ms': round(1000 * scan / 5.0, 2),
-            'e2e_ms_per_step_per_alt_b8': per_alt[8],
-            'e2e_ms_per_step_per_alt_b16': per_alt[16],
+            **{f'e2e_ms_per_step_per_alt_b{B}': per_alt[B]
+               for B in buckets},
             'repeats': {'scan_ms': scan_all, 'e2e_ms': e2e_all,
-                        'e2e_ms_b8': per_alt_all[8],
-                        'e2e_ms_b16': per_alt_all[16]},
+                        **{f'e2e_ms_b{B}': per_alt_all[B]
+                           for B in buckets}},
         }
         records.append(rec)
         print(json.dumps(rec), flush=True)

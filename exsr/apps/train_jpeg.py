@@ -140,7 +140,8 @@ def main(argv=None):
                         d_verification=args.d_verification,
                         min_mean_d_correct=args.min_d_correct)
     os.makedirs(args.exp_dir, exist_ok=True)
-    from exsr.utils.misc import stage_scalars, read_scalars
+    from exsr.utils.misc import (stage_scalars, read_scalars,
+                                 install_sigint_stop)
     from exsr.utils.logging import MetricLog
     mlog = MetricLog()
     log_path = os.path.join(args.exp_dir, 'logs.npz')
@@ -231,10 +232,17 @@ def main(argv=None):
                               if np.ndim(v) == 0})
             ctl.record_g()
 
+    # a deadline SIGINT must not cost the last checkpoint interval: the
+    # r5c run lost its entire 50-step state this way (KeyboardInterrupt
+    # skipped the forced final save; only step 1 survived).  The handler
+    # turns the first SIGINT into a clean stop at the next loop top; a
+    # second SIGINT falls back to the default (hard) behavior.
+    stop_requested = install_sigint_stop()
+
     # cross-epoch prefetch stream (see train_sr/DataLoader.stream): tiny tile
     # datasets make an epoch a single batch, which defeats per-epoch prefetch
     for batch in loader.stream(0):
-        if ctl.step >= cfg.niter:
+        if ctl.step >= cfg.niter or stop_requested():
             break
         b = rules.shard_host_batch({'uncomp': batch['uncomp'],
                                     'qf': batch['qf']})
@@ -266,6 +274,7 @@ def main(argv=None):
         if val_ds is not None and ctl.step % args.val_freq == 0:
             validate(state)
         ckpts.save(ctl.step, state, controller_state=_ctl_snapshot())
+    stop_requested.restore()
     apply_pending()
     pending = (None, None)
     ckpts.save(ctl.step, state, controller_state=_ctl_snapshot(),

@@ -121,7 +121,8 @@ def main(argv=None):
     from exsr.train.checkpoints import CheckpointManager
     from exsr.data.datasets import LRHRDataset, DataLoader
     from exsr.utils.metrics import calculate_psnr, crop_border
-    from exsr.utils.misc import stage_scalars, read_scalars
+    from exsr.utils.misc import (stage_scalars, read_scalars,
+                                 install_sigint_stop)
     from exsr.utils.color import tensor2img
     from exsr.utils.logging import MetricLog, TensorboardWriter
 
@@ -401,8 +402,12 @@ def main(argv=None):
     # single batch, so the per-epoch iterator exposes the whole collate
     # latency to the step loop (0.3-0.8 s/step measured on the r5
     # flagship run); the stream keeps batches ready across boundaries
+    # deadline SIGINTs stop cooperatively so the forced final save below
+    # always runs (a raw KeyboardInterrupt loses up to ckpt_freq steps;
+    # see install_sigint_stop)
+    stop_requested = install_sigint_stop()
     for batch in loader.stream(0):
-        if ctl.step >= cfg.niter:
+        if ctl.step >= cfg.niter or stop_requested():
             break
         batch = rules.shard_batch(
             {'lr': batch['lr'], 'hr': batch['hr']})
@@ -498,6 +503,7 @@ def main(argv=None):
             validate(ctl.step)
         ckpts.save(ctl.step, state,
                    controller_state=_ctl_snapshot())
+    stop_requested.restore()
     apply_pending()
     pending = (None, None)
     ckpts.save(ctl.step, state, force=True,

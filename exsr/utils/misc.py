@@ -242,3 +242,42 @@ def read_scalars(staged) -> dict:
         vals = np.asarray(stacked)
         out.update({k: float(x) for k, x in zip(keys, vals)})
     return out
+
+
+def install_sigint_stop():
+    """Turn the first SIGINT into a cooperative stop request.
+
+    Training CLIs are deadline-stopped with ``timeout --signal=INT``;
+    the default KeyboardInterrupt unwinds straight past the forced
+    final checkpoint save, losing up to ``ckpt_freq`` steps of work
+    (the round-5 JPEG run lost its entire deadline-capped state this
+    way — only the step-1 checkpoint survived the SIGINT).  The
+    installed handler records the request and restores the previous
+    handler, so a second SIGINT still hard-interrupts a stuck run.
+
+    Returns a zero-arg callable the train loop polls at its top; its
+    ``.restore()`` puts the previous handler back (trainers call it
+    after the loop so in-process callers — tests, ``apps.scripts``
+    pipelines — don't inherit an altered SIGINT).
+    """
+    import signal
+
+    flag = {'stop': False}
+    prev = signal.getsignal(signal.SIGINT)
+
+    def _handler(signum, frame):
+        flag['stop'] = True
+        signal.signal(signal.SIGINT, prev)
+        print('SIGINT: stopping at the next step boundary '
+              '(send again to hard-interrupt)', flush=True)
+
+    class _Stop:
+        def __call__(self):
+            return flag['stop']
+
+        @staticmethod
+        def restore():
+            signal.signal(signal.SIGINT, prev)
+
+    signal.signal(signal.SIGINT, _handler)
+    return _Stop()

@@ -733,3 +733,35 @@ def test_train_jpeg_chroma_cli(tmp_path):
     cbcr = s.decode_chroma()
     assert cbcr.shape == (48, 48, 2)
     assert np.isfinite(cbcr).all()
+
+
+def test_install_sigint_stop_cooperative_then_hard():
+    """First SIGINT sets the cooperative stop flag (so the trainers'
+    forced final checkpoint save still runs — the r5 JPEG deadline run
+    lost its entire state to a raw KeyboardInterrupt); the handler then
+    restores the previous handler so a second SIGINT hard-interrupts."""
+    import os
+    import signal
+
+    import pytest
+
+    from exsr.utils.misc import install_sigint_stop
+
+    prev = signal.getsignal(signal.SIGINT)
+    signal.signal(signal.SIGINT, signal.default_int_handler)
+    try:
+        stop = install_sigint_stop()
+        assert not stop()
+        os.kill(os.getpid(), signal.SIGINT)   # delivered synchronously
+        assert stop()
+        # handler restored: the next SIGINT is the default hard interrupt
+        with pytest.raises(KeyboardInterrupt):
+            os.kill(os.getpid(), signal.SIGINT)
+        # trainers call .restore() after the loop so in-process callers
+        # don't inherit the cooperative handler
+        stop2 = install_sigint_stop()
+        stop2.restore()
+        assert (signal.getsignal(signal.SIGINT)
+                is signal.default_int_handler)
+    finally:
+        signal.signal(signal.SIGINT, prev)
